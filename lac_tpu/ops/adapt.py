@@ -1,0 +1,130 @@
+"""Closed-form Rice k-adaptation sequences.
+
+The reference adapts ``k`` serially after every residual sample
+(rice.hpp:45-114 stateful; block/encoder.cpp:72-77 stateless). The key
+TPU-native observation: the adaptation state is a pure function of the
+*history of unsigned residuals* — there is no feedback from ``k`` into
+the state. Concretely, for sample index ``i`` (0-based) of a segment:
+
+* ``sum_i``/``count_i`` are prefix sums,
+* the 256-entry drift window holds exactly the last 256 ``u`` values, so
+  ``window_sum_i = sum_i - sum_{i-256}`` (sliding-window sum),
+* the 96-entry micro window's large/zero counters are sliding-window
+  sums of per-sample flags derived from ``u_i`` and the mean-based k,
+* the micro trigger ``window_index+1 >= 96 || window_filled >= 96``
+  reduces to ``count_i >= 96``.
+
+Hence the whole k-sequence is cumsum + elementwise ops — embarrassingly
+parallel across samples, partitions, candidates, and blocks. This module
+computes ``k_used[i]`` — the k that encodes sample ``i`` (``initial_k``
+for the first sample, then the adapted value).
+"""
+
+import numpy as np
+
+from ..format import constants as C
+from ._backend import bit_width, shift_right
+
+
+def k_after_stateless(seg_sum, pos_in_seg, xp=np):
+    """Stateless adapted k after each sample (block/encoder.cpp:72-77).
+
+    ``seg_sum``: segment-local inclusive prefix sum of u (uint64).
+    ``pos_in_seg``: 0-based position within the segment (int64).
+    """
+    count = (pos_in_seg + 1).astype(xp.uint64)
+    mean = (seg_sum + (count >> xp.uint64(1))) // count
+    k = xp.minimum(xp.int32(C.MAX_RICE_K), bit_width(mean - xp.uint64(1), xp=xp))
+    return xp.where(mean <= xp.uint64(1), xp.int32(0), k)
+
+
+def k_after_stateful(u, xp=np):
+    """Stateful adapted k after each sample of a whole block (rice.hpp:45-114).
+
+    ``u``: (..., L) uint64 unsigned residuals. Returns int32 (..., L).
+    """
+    one = xp.uint64(1)
+    u = u.astype(xp.uint64)
+    L = u.shape[-1]
+    s = xp.cumsum(u, axis=-1)
+    idx = xp.arange(L, dtype=xp.int64)
+    count = (idx + 1).astype(xp.uint64)
+
+    mean = (s + (count >> one)) // count
+    k_base = xp.where(
+        mean <= one,
+        xp.int32(0),
+        xp.minimum(xp.int32(C.MAX_RICE_K), bit_width(mean - one, xp=xp)),
+    )
+
+    # drift window: sum of the last min(i+1, 256) values
+    window_sum = s - shift_right(s, C.DRIFT_WINDOW, xp=xp)
+    filled = xp.minimum(count, xp.uint64(C.DRIFT_WINDOW))
+    local_mean = xp.where(
+        filled == xp.uint64(C.DRIFT_WINDOW),
+        (window_sum + xp.uint64(C.DRIFT_WINDOW >> 1)) >> xp.uint64(8),
+        (window_sum + (filled >> one)) // filled,
+    )
+    three, four = xp.uint64(3), xp.uint64(4)
+    bias = xp.where(
+        local_mean * three > mean * four,
+        xp.int32(1),
+        xp.where(local_mean * four + three < mean * three, xp.int32(-1), xp.int32(0)),
+    )
+    bias = xp.where(mean > xp.uint64(0), bias, xp.int32(0))
+
+    # micro window: quotient-distribution counters over the last 96 samples
+    q_base = xp.where(k_base >= xp.int32(C.MAX_RICE_K), xp.uint64(0), u >> k_base.astype(xp.uint64))
+    is_large = (q_base > three).astype(xp.int64)
+    is_zero = (q_base == xp.uint64(0)).astype(xp.int64)
+    cl = xp.cumsum(is_large, axis=-1)
+    cz = xp.cumsum(is_zero, axis=-1)
+    large_cnt = cl - shift_right(cl, C.MICRO_WINDOW, xp=xp)
+    zero_cnt = cz - shift_right(cz, C.MICRO_WINDOW, xp=xp)
+    trigger = count >= xp.uint64(C.MICRO_WINDOW)
+    wsize = xp.minimum(idx + 1, xp.int64(C.MICRO_WINDOW))
+    cond_large = large_cnt * 4 >= wsize * 3
+    cond_zero = zero_cnt * 5 >= wsize * 4
+    bias = xp.where(
+        trigger & cond_large,
+        xp.minimum(bias + xp.int32(1), xp.int32(1)),
+        xp.where(trigger & ~cond_large & cond_zero, xp.maximum(bias - xp.int32(1), xp.int32(-1)), bias),
+    )
+
+    return xp.clip(k_base + bias, 0, C.MAX_RICE_K).astype(xp.int32)
+
+
+def k_used_from_after(k_after, initial_k, xp=np):
+    """Shift the post-sample k sequence into the pre-sample (encoding) k.
+
+    ``initial_k`` may be scalar or broadcastable to the leading shape.
+    """
+    shifted = shift_right(k_after, 1, xp=xp)
+    L = k_after.shape[-1]
+    first = xp.arange(L, dtype=xp.int64) == 0
+    init = xp.asarray(initial_k, dtype=xp.int32)
+    if getattr(init, "ndim", 0) > 0:
+        init = init[..., None]
+    return xp.where(first, init, shifted).astype(xp.int32)
+
+
+def k_used_stateless_segmented(u, pos_in_seg, initial_k_per_sample, xp=np):
+    """Per-sample encoding k for stateless (partitioned) adaptation.
+
+    ``u``: (..., L) uint64; ``pos_in_seg``: (..., L) int64 position within
+    each sample's partition; ``initial_k_per_sample``: int32 per-sample
+    initial k (the owning partition's initial_k, used at pos 0).
+    """
+    s = xp.cumsum(u.astype(xp.uint64), axis=-1)
+    # segment-local prefix sums: subtract the global cumsum just before
+    # each segment start (gathered via i - pos_in_seg).
+    idx = xp.arange(u.shape[-1], dtype=xp.int64)
+    seg_start = idx - pos_in_seg
+    s_shift = shift_right(s, 1, xp=xp)  # exclusive global cumsum
+    base = xp.take_along_axis(
+        s_shift, xp.broadcast_to(seg_start, s.shape).astype(xp.int64), axis=-1
+    ) if s.ndim > 1 else s_shift[seg_start]
+    seg_sum = s - base
+    k_after = k_after_stateless(seg_sum, pos_in_seg, xp=xp)
+    shifted = shift_right(k_after, 1, xp=xp)
+    return xp.where(pos_in_seg == 0, initial_k_per_sample, shifted).astype(xp.int32)

@@ -1,0 +1,235 @@
+"""Predictor residual computation and reconstruction.
+
+Encode side (open-loop, fully parallel stencils — the reference computes
+these serially per sample, block/encoder.cpp:265-309, lpc.cpp:188-229):
+
+* fixed orders 0-4: binomial differencing with raw warmup samples,
+* FIR: taps {3,-1}, shift 2, order 2,
+* LPC: Q15 integer dot over up to ``order`` preceding *original* samples
+  (open loop), taps before block start omitted (zero-fill shifts).
+
+Decode side (closed-loop):
+
+* fixed orders invert to repeated prefix sums after mapping the raw
+  warmup samples into the zero-extended difference domain — fully
+  parallel (the reference restores serially, block/decoder.cpp:308-342),
+* FIR/LPC restores are true recurrences (the ``>> 15`` truncation breaks
+  superposition): lax.scan on TPU / native loop on host.
+"""
+
+import numpy as np
+
+from ..format import constants as C
+from ._backend import is_jax, shift_right
+
+# Pascal-triangle stencil weights for fixed predictors: residual[n] =
+# sum_i w[i] * x[n-i] (format.md:152-160 rearranged to difference form).
+_FIXED_STENCILS = {
+    0: (1,),
+    1: (1, -1),
+    2: (1, -2, 1),
+    3: (1, -3, 3, -1),
+    4: (1, -4, 6, -4, 1),
+}
+
+
+def fixed_residual(x, order, xp=np):
+    """Fixed-order residual; first ``order`` samples are raw (int32 in/out)."""
+    x64 = x.astype(xp.int64)
+    acc = xp.zeros_like(x64)
+    for i, w in enumerate(_FIXED_STENCILS[order]):
+        acc = acc + xp.int64(w) * shift_right(x64, i, xp=xp)
+    idx = xp.arange(x.shape[-1], dtype=xp.int64)
+    return xp.where(idx < order, x64, acc).astype(xp.int32)
+
+
+def fir_residual(x, xp=np):
+    """FIR taps {3,-1} >> 2 residual; first 2 samples raw."""
+    x64 = x.astype(xp.int64)
+    pred = (xp.int64(C.FIR_TAPS[0]) * shift_right(x64, 1, xp=xp)
+            + xp.int64(C.FIR_TAPS[1]) * shift_right(x64, 2, xp=xp)) >> xp.int64(C.FIR_SHIFT)
+    idx = xp.arange(x.shape[-1], dtype=xp.int64)
+    return xp.where(idx < C.FIR_ORDER, x64, x64 - pred).astype(xp.int32)
+
+
+def lpc_residual(x, coeffs_q15, order, xp=np):
+    """Open-loop LPC residual (lpc.cpp:38-61).
+
+    ``coeffs_q15``: (..., order+1) int16-valued, index 0 unused.
+    Returns (residual int32, in_range bool) — ``in_range`` is False when
+    any open-loop difference leaves the int32 domain (the caller then
+    walks the fallback order ladder, lpc.cpp:188-229).
+    """
+    x64 = x.astype(xp.int64)
+    acc = xp.zeros_like(x64)
+    for i in range(1, order + 1):
+        ci = coeffs_q15[..., i].astype(xp.int64)
+        if getattr(ci, "ndim", 0) > 0:
+            ci = ci[..., None]
+        acc = acc + ci * shift_right(x64, i, xp=xp)
+    pred = acc >> xp.int64(15)
+    diff = x64 - pred
+    in_range = xp.all((diff >= C.INT32_MIN) & (diff <= C.INT32_MAX), axis=-1)
+    return diff.astype(xp.int32), in_range
+
+
+# --------------------------------------------------------------------- decode
+
+# bound on any intermediate difference order of an int32-valued sequence:
+# |delta^m x| <= 2^(31+m) <= 2^36 for m <= 5; beyond it the final samples
+# cannot all fit int32, so the reference would reject too.
+_STAGE_BOUND = 1 << 37
+
+
+def fixed_restore(res, order, valid_len=None, xp=np):
+    """Invert a fixed-order predictor via repeated prefix sums.
+
+    ``res``: (..., L) int32 residuals (warmup entries raw). Returns
+    (samples int64, ok bool (...,)) — ``ok`` False when reconstruction
+    leaves the int32 domain anywhere in the valid region (the reference
+    rejects on the first out-of-range step, block/decoder.cpp:308-342;
+    acceptance is equivalent).
+    """
+    y = res.astype(xp.int64)
+    L = y.shape[-1]
+    idx = xp.arange(L, dtype=xp.int64)
+    vmask = idx < (xp.int64(L) if valid_len is None else xp.asarray(valid_len)[..., None] if getattr(valid_len, "ndim", 0) else xp.int64(valid_len))
+    if order == 0:
+        ok = xp.all(xp.where(vmask, (y >= C.INT32_MIN) & (y <= C.INT32_MAX), True), axis=-1)
+        return y, ok
+
+    # map raw warmup samples into the zero-extended difference domain:
+    # warm'[n] = sum_i w[i] * x[n-i] over available taps (n < order)
+    w = _FIXED_STENCILS[order]
+    warm = xp.zeros_like(y)
+    for i, wi in enumerate(w):
+        warm = warm + xp.int64(wi) * shift_right(y, i, xp=xp)
+    y = xp.where(idx < order, warm, y)
+
+    ok = xp.ones(y.shape[:-1], dtype=bool)
+    for _ in range(order):
+        y = xp.cumsum(xp.where(vmask, y, 0), axis=-1)
+        ok = ok & xp.all(xp.where(vmask, xp.abs(y) <= _STAGE_BOUND, True), axis=-1)
+    ok = ok & xp.all(xp.where(vmask, (y >= C.INT32_MIN) & (y <= C.INT32_MAX), True), axis=-1)
+    return y, ok
+
+
+def _scan_restore_numpy(res, step):
+    raise NotImplementedError
+
+
+def fir_restore(res, valid_len=None, xp=np):
+    """Closed-loop FIR reconstruction (block/decoder.cpp:344-358)."""
+    if is_jax(xp):
+        return _fir_restore_jax(res, valid_len)
+    res = np.asarray(res)
+    y = res.astype(np.int64).copy()
+    L = y.shape[-1]
+    n_valid = L if valid_len is None else valid_len
+    flat = y.reshape(-1, L)
+    ok = np.ones(flat.shape[0], dtype=bool)
+    for row in range(flat.shape[0]):
+        r = flat[row]
+        nv = int(n_valid if np.ndim(n_valid) == 0 else np.asarray(n_valid).reshape(-1)[row])
+        for n in range(C.FIR_ORDER, nv):
+            pred = (3 * r[n - 1] - r[n - 2]) >> 2
+            s = r[n] + pred
+            if s < C.INT32_MIN or s > C.INT32_MAX:
+                ok[row] = False
+                break
+            r[n] = s
+    return y, ok.reshape(res.shape[:-1])
+
+
+def lpc_restore(res, coeffs_q15, order, valid_len=None, xp=np):
+    """Closed-loop LPC reconstruction (block/decoder.cpp:360-403)."""
+    if is_jax(xp):
+        return _lpc_restore_jax(res, coeffs_q15, order, valid_len)
+    res = np.asarray(res)
+    y = res.astype(np.int64).copy()
+    L = y.shape[-1]
+    flat = y.reshape(-1, L)
+    cflat = np.asarray(coeffs_q15, dtype=np.int64).reshape(-1, np.asarray(coeffs_q15).shape[-1])
+    if cflat.shape[0] == 1 and flat.shape[0] > 1:
+        cflat = np.broadcast_to(cflat, (flat.shape[0], cflat.shape[1]))
+    n_valid = L if valid_len is None else valid_len
+    ok = np.ones(flat.shape[0], dtype=bool)
+    for row in range(flat.shape[0]):
+        r = flat[row]
+        c = cflat[row]
+        nv = int(n_valid if np.ndim(n_valid) == 0 else np.asarray(n_valid).reshape(-1)[row])
+        for n in range(nv):
+            taps = min(order, n)
+            acc = 0
+            for i in range(1, taps + 1):
+                acc += int(c[i]) * int(r[n - i])
+            s = int(r[n]) + (acc >> 15)
+            if s < C.INT32_MIN or s > C.INT32_MAX:
+                ok[row] = False
+                break
+            r[n] = s
+    return y, ok.reshape(res.shape[:-1])
+
+
+def _fir_restore_jax(res, valid_len):
+    import jax
+    import jax.numpy as jnp
+
+    res = jnp.asarray(res, dtype=jnp.int64)
+    L = res.shape[-1]
+    nv = jnp.full(res.shape[:-1], L, dtype=jnp.int64) if valid_len is None else jnp.broadcast_to(jnp.asarray(valid_len, jnp.int64), res.shape[:-1])
+
+    def one(r, n_valid):
+        def step(carry, rn_i):
+            x1, x2, i, ok = carry
+            rn, = rn_i
+            pred = jnp.where(i >= C.FIR_ORDER, (3 * x1 - x2) >> 2, 0)
+            s = rn + pred
+            in_range = (s >= C.INT32_MIN) & (s <= C.INT32_MAX)
+            active = i < n_valid
+            ok = ok & (in_range | ~active)
+            s = jnp.where(active, s, rn)
+            return (s, x1, i + 1, ok), s
+
+        (_, _, _, ok), out = jax.lax.scan(step, (jnp.int64(0), jnp.int64(0), jnp.int64(0), True), (r,))
+        return out, ok
+
+    flat = res.reshape(-1, L)
+    out, ok = jax.vmap(one)(flat, nv.reshape(-1))
+    return out.reshape(res.shape), ok.reshape(res.shape[:-1])
+
+
+def _lpc_restore_jax(res, coeffs_q15, order, valid_len):
+    import jax
+    import jax.numpy as jnp
+
+    res = jnp.asarray(res, dtype=jnp.int64)
+    L = res.shape[-1]
+    coeffs = jnp.asarray(coeffs_q15, dtype=jnp.int64)
+    coeffs = jnp.broadcast_to(coeffs, res.shape[:-1] + (coeffs.shape[-1],))
+    nv = jnp.full(res.shape[:-1], L, dtype=jnp.int64) if valid_len is None else jnp.broadcast_to(jnp.asarray(valid_len, jnp.int64), res.shape[:-1])
+
+    def one(r, c, n_valid):
+        hist0 = jnp.zeros((order,), dtype=jnp.int64)  # hist[j] = x[n-1-j]
+        cs = c[1 : order + 1]
+
+        def step(carry, rn_i):
+            hist, i, ok = carry
+            rn, = rn_i
+            taps_mask = jnp.arange(order) < jnp.minimum(i, order)
+            acc = jnp.sum(jnp.where(taps_mask, cs * hist, 0))
+            s = rn + (acc >> 15)
+            in_range = (s >= C.INT32_MIN) & (s <= C.INT32_MAX)
+            active = i < n_valid
+            ok = ok & (in_range | ~active)
+            s = jnp.where(active, s, rn)
+            hist = jnp.concatenate([s[None], hist[:-1]])
+            return (hist, i + 1, ok), s
+
+        (_, _, ok), out = jax.lax.scan(step, (hist0, jnp.int64(0), True), (r,))
+        return out, ok
+
+    flat = res.reshape(-1, L)
+    cflat = coeffs.reshape(-1, coeffs.shape[-1])
+    out, ok = jax.vmap(one)(flat, cflat, nv.reshape(-1))
+    return out.reshape(res.shape), ok.reshape(res.shape[:-1])

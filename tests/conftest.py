@@ -1,0 +1,27 @@
+import os
+
+# Tests run on CPU with a virtual 8-device mesh so multi-chip sharding
+# logic is exercised without TPU hardware.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import subprocess
+
+import pytest
+
+REFERENCE_CLI = pathlib.Path(__file__).resolve().parent.parent / ".refbuild" / "lac_cli"
+
+
+@pytest.fixture(scope="session")
+def reference_cli():
+    """Path to the reference encoder binary, or skip if unavailable."""
+    if not REFERENCE_CLI.exists():
+        pytest.skip("reference lac_cli binary not built (.refbuild)")
+    return str(REFERENCE_CLI)
+
+
+def run_reference(args, **kw):
+    return subprocess.run([str(REFERENCE_CLI), *args], capture_output=True, **kw)
