@@ -1,0 +1,281 @@
+"""``lac_cli``-compatible command line (main.cpp:593-918).
+
+Same subcommands, flags, env resolution, staged atomic output, message
+shapes, and exit codes as the reference CLI:
+
+    lac_cli encode input.wav output.lac [--stereo-mode=lr|ms] [--threads=N]
+            [--debug-threads] [--debug-lpc] [--debug-stereo-est] [--debug-zr]
+            [--debug-partitions] [--no-partitioning]
+    lac_cli decode input.lac output.wav [--threads=N] [--debug-threads]
+    lac_cli selftest
+"""
+
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+from .format import constants as C
+from .utils.staged_output import StagedOutputFile, paths_refer_to_same_file
+from .utils.threads import parse_thread_limit, parse_threads_flag
+
+
+def _usage():
+    sys.stderr.write("Usage:\n")
+    sys.stderr.write(
+        "  lac_cli encode input.wav output.lac [--stereo-mode=lr|ms] [--threads=N] "
+        "[--debug-threads] [--debug-lpc] [--debug-stereo-est] [--debug-zr] "
+        "[--debug-partitions] [--no-partitioning]\n"
+    )
+    sys.stderr.write("  lac_cli decode input.lac output.wav [--threads=N] [--debug-threads]\n")
+    sys.stderr.write("  lac_cli selftest\n")
+
+
+def _resolve_threads(explicit: int) -> int:
+    if explicit > 0:
+        return explicit
+    return parse_thread_limit(os.environ.get("LAC_THREADS"))
+
+
+def _load_file(path: str):
+    try:
+        size = os.path.getsize(path)
+        if size > C.MAX_LAC_INPUT_BYTES:
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def _cmd_encode(argv) -> int:
+    from .encoder import FrameEncoder
+    from .io import read_wav
+
+    if len(argv) < 2:
+        _usage()
+        return 1
+    in_path, out_path = argv[0], argv[1]
+    if paths_refer_to_same_file(in_path, out_path):
+        sys.stderr.write("Input and output paths must be different\n")
+        return 1
+    stereo_mode = C.STEREO_PER_BLOCK
+    partitioning = True
+    thread_count = 0
+    debug_threads = False
+    for flag in argv[2:]:
+        if flag in ("--debug-threads",):
+            debug_threads = True
+        elif flag in ("--debug-stereo-est", "--debug-lpc", "--debug-zr", "--debug-partitions"):
+            pass  # accepted; debug tracing is env-gated (utils/debug)
+        elif flag == "--no-partitioning":
+            partitioning = False
+        elif flag == "--stereo-mode=lr":
+            stereo_mode = C.STEREO_LR
+        elif flag == "--stereo-mode=ms":
+            stereo_mode = C.STEREO_MS
+        else:
+            n = parse_threads_flag(flag)
+            if n is None:
+                _usage()
+                return 1
+            thread_count = n
+    thread_count = _resolve_threads(thread_count)
+
+    wav = read_wav(in_path)
+    if wav is None:
+        sys.stderr.write(f"Failed to read WAV: {in_path}\n")
+        return 1
+    left, right, channels, sample_rate, bit_depth = wav
+    effective_mode = 0 if channels == 1 else stereo_mode
+    encoder = FrameEncoder(12, effective_mode, sample_rate, bit_depth)
+    encoder.set_partitioning_enabled(partitioning)
+    encoder.set_thread_count(thread_count)
+    bitstream = encoder.encode(left, right)
+
+    with StagedOutputFile(out_path) as staged:
+        ok = staged.is_ready()
+        if ok:
+            try:
+                with open(staged.path(), "wb") as f:
+                    f.write(bitstream)
+            except OSError:
+                ok = False
+        if not ok or not staged.publish(in_path):
+            sys.stderr.write(f"Failed to write LAC file: {out_path}\n")
+            return 1
+    sys.stdout.write(f"Encoded {in_path} -> {out_path} ({len(bitstream)} bytes)\n")
+    if debug_threads:
+        workers = max(1, thread_count or (os.cpu_count() or 1))
+        sys.stdout.write(f"Thread usage: {workers} threads\n")
+        if workers <= 1:
+            sys.stdout.write("WARNING: Multi-threading not active (single-threaded execution).\n")
+    return 0
+
+
+def _cmd_decode(argv) -> int:
+    from .decoder import DecodeError, FrameDecoder
+    from .io import write_wav_unchecked_samples
+
+    if len(argv) < 2:
+        _usage()
+        return 1
+    in_path, out_path = argv[0], argv[1]
+    if paths_refer_to_same_file(in_path, out_path):
+        sys.stderr.write("Input and output paths must be different\n")
+        return 1
+    thread_count = 0
+    debug_threads = False
+    for flag in argv[2:]:
+        if flag == "--debug-threads":
+            debug_threads = True
+        else:
+            n = parse_threads_flag(flag)
+            if n is None:
+                _usage()
+                return 1
+            thread_count = n
+    thread_count = _resolve_threads(thread_count)
+
+    data = _load_file(in_path)
+    if data is None:
+        sys.stderr.write(f"Failed to read LAC file: {in_path}\n")
+        return 1
+
+    with StagedOutputFile(out_path) as staged:
+        if not staged.is_ready():
+            sys.stderr.write(f"Failed to write WAV: {out_path}\n")
+            return 1
+        decoder = FrameDecoder()
+        decoder.set_thread_count(thread_count)
+        try:
+            left, right, hdr = decoder.decode(data)
+        except DecodeError as e:
+            sys.stderr.write(f"Decode failed: {str(e).replace('[decode-error] ', '')}\n")
+            return 1
+        if len(left) == 0:
+            sys.stderr.write("Decode failed or produced no samples\n")
+            return 1
+        if not write_wav_unchecked_samples(
+            staged.path(), left, right, hdr.channels, hdr.sample_rate, hdr.bit_depth
+        ):
+            sys.stderr.write(f"Failed to write WAV: {out_path}\n")
+            return 1
+        if not staged.publish(in_path):
+            sys.stderr.write(f"Failed to write WAV: {out_path}\n")
+            return 1
+    sys.stdout.write(f"Decoded {in_path} -> {out_path} ({len(left)} samples per channel)\n")
+    if debug_threads:
+        workers = max(1, thread_count or (os.cpu_count() or 1))
+        sys.stdout.write(f"Decoder thread usage: {workers} threads\n")
+        if workers <= 1:
+            sys.stdout.write("WARNING: Decoder multi-threading may not be active.\n")
+    return 0
+
+
+def _cmd_selftest() -> int:
+    from .decoder import FrameDecoder
+    from .encoder import FrameEncoder
+
+    pcm24_max = 0x7FFFFF
+
+    def generate(sample_rate, bit_depth, frames):
+        amp = pcm24_max // 3 if bit_depth == 24 else 30000
+        t = np.arange(frames, dtype=np.float64) / sample_rate
+        left = (np.sin(2.0 * math.pi * 440.0 * t) * amp).astype(np.int32)
+        right = (np.sin(2.0 * math.pi * 443.0 * t) * (amp * 0.95)).astype(np.int32)
+        return left, right
+
+    def run_pair(sample_rate, bit_depth) -> bool:
+        frames = max(sample_rate // 20, 2048)
+        src_l, src_r = generate(sample_rate, bit_depth, frames)
+        dec = FrameDecoder()
+
+        bs_lr = FrameEncoder(12, 0, sample_rate, bit_depth).encode(src_l, src_r)
+        t0 = time.perf_counter()
+        dl, dr, hdr_lr = dec.decode(bs_lr)
+        t1 = time.perf_counter()
+        if not (np.array_equal(dl, src_l) and np.array_equal(dr, src_r)):
+            sys.stderr.write(f"LR roundtrip mismatch for sr={sample_rate} depth={bit_depth}\n")
+            return False
+        if hdr_lr.sample_rate != sample_rate or hdr_lr.bit_depth != bit_depth:
+            sys.stderr.write(f"LR header mismatch sr={hdr_lr.sample_rate} depth={hdr_lr.bit_depth}\n")
+            return False
+
+        bs_ms = FrameEncoder(12, 1, sample_rate, bit_depth).encode(src_l, src_r)
+        t2 = time.perf_counter()
+        dl, dr, hdr_ms = dec.decode(bs_ms)
+        t3 = time.perf_counter()
+        if not (np.array_equal(dl, src_l) and np.array_equal(dr, src_r)):
+            sys.stderr.write(f"MS roundtrip mismatch for sr={sample_rate} depth={bit_depth}\n")
+            return False
+        if hdr_ms.sample_rate != sample_rate or hdr_ms.bit_depth != bit_depth:
+            sys.stderr.write(f"MS header mismatch sr={hdr_ms.sample_rate} depth={hdr_ms.bit_depth}\n")
+            return False
+
+        bs_auto = FrameEncoder(12, 2, sample_rate, bit_depth).encode(src_l, src_r)
+        dl, dr, hdr_auto = dec.decode(bs_auto)
+        if not (np.array_equal(dl, src_l) and np.array_equal(dr, src_r)):
+            sys.stderr.write(f"Auto-stereo roundtrip mismatch for sr={sample_rate} depth={bit_depth}\n")
+            return False
+        if hdr_auto.stereo_mode != 2:
+            sys.stderr.write(f"Auto-stereo header mismatch stereo_mode={hdr_auto.stereo_mode}\n")
+            return False
+
+        bs_mono = FrameEncoder(12, 0, sample_rate, bit_depth).encode(src_l)
+        dl, dr, hdr_mono = dec.decode(bs_mono)
+        if not (np.array_equal(dl, src_l) and len(dr) == 0):
+            sys.stderr.write(f"Mono roundtrip mismatch for sr={sample_rate} depth={bit_depth}\n")
+            return False
+        if hdr_mono.channels != 1:
+            sys.stderr.write(f"Mono header mismatch channels={hdr_mono.channels}\n")
+            return False
+
+        lr_us = int((t1 - t0) * 1e6)
+        ms_us = int((t3 - t2) * 1e6)
+        smaller = "smaller" if len(bs_ms) < len(bs_lr) else "not smaller"
+        sys.stdout.write(
+            f"Selftest sr={sample_rate}Hz depth={bit_depth}"
+            f" LR={len(bs_lr)} bytes ({lr_us}us decode)"
+            f" MS={len(bs_ms)} bytes ({ms_us}us decode)"
+            f" -> MS is {smaller}\n"
+        )
+        return True
+
+    for sr, depth in ((44100, 16), (48000, 24), (96000, 24), (192000, 24)):
+        if not run_pair(sr, depth):
+            return 1
+    sys.stdout.write("Selftest complete: adaptive block tests passed.\n")
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    try:
+        if not argv:
+            _usage()
+            return 1
+        mode = argv[0]
+        if mode == "encode":
+            if len(argv) < 3:
+                _usage()
+                return 1
+            return _cmd_encode(argv[1:])
+        if mode == "decode":
+            if len(argv) < 3:
+                _usage()
+                return 1
+            return _cmd_decode(argv[1:])
+        if mode == "selftest":
+            return _cmd_selftest()
+        _usage()
+        return 1
+    except Exception as e:  # noqa: BLE001 — CLI boundary (main.cpp:914-917)
+        sys.stderr.write(f"Error: {e}\n")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

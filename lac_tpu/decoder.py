@@ -1,0 +1,427 @@
+"""Frame + channel-block decoder with strict canonical validation.
+
+Mirrors every rejection rule of the reference decoder
+(block/decoder.cpp:57-520, lac/decoder.cpp:76-303): predictor/order
+rules, control-byte consistency, metadata/control match, run overflow,
+zero padding, per-step int32 range, v3 table validation, trailing bytes.
+
+This host tokenizer is the correctness baseline (v3 block payloads are
+independent, so it parallelizes trivially); the native C++ tokenizer and
+the batched TPU reconstruction path plug in behind the same interface.
+"""
+
+import numpy as np
+
+from .bitio import BitReader
+from .format import constants as C
+from .format.header import FrameHeader
+from .format.partitions import parse_control_byte
+from .format.zigzag import zigzag_decode
+from .ops import adapt, predictors
+from .ops.stereo import ms_inverse
+
+
+class DecodeError(Exception):
+    pass
+
+
+def _partition_size_at(size, order, index, count):
+    if order == 0:
+        return size
+    base = size >> order
+    return (size - base * (count - 1)) if index + 1 == count else base
+
+
+def _read_rice_unsigned(r: BitReader, k: int):
+    if k > 31:
+        return None
+    max_q = 0xFFFFFFFF >> k
+    q = r.read_unary_ones(max_q)
+    if q is None:
+        return None
+    rem = r.read_bits(k) if k > 0 else 0
+    if r.has_error():
+        return None
+    return (q << k) | rem
+
+
+class _StatefulK:
+    """Incremental adapter used during serial token decode."""
+
+    def __init__(self):
+        from .ops import adapt as _  # noqa: F401  (doc pointer)
+        # direct scalar implementation of rice.hpp:45-114
+        self.prev_sum = 0
+        self.widx = 0
+        self.midx = 0
+        self.filled = 0
+        self.wsum = 0
+        self.large = 0
+        self.zero = 0
+        self.recent = [0] * C.DRIFT_WINDOW
+        self.lflags = [0] * C.MICRO_WINDOW
+        self.zflags = [0] * C.MICRO_WINDOW
+
+    def adapt(self, total, count):
+        if count == 0:
+            return 0
+        cur = total - self.prev_sum
+        self.prev_sum = total
+        mi = self.midx
+        self.large -= self.lflags[mi]
+        self.zero -= self.zflags[mi]
+        if self.filled < C.DRIFT_WINDOW:
+            self.filled += 1
+        else:
+            self.wsum -= self.recent[self.widx]
+        self.recent[self.widx] = cur & 0xFFFFFFFF
+        self.wsum += cur
+        mean = (total + (count >> 1)) // count
+        k = 0 if mean <= 1 else min(31, (mean - 1).bit_length())
+        qb = 0 if k >= 31 else (cur >> k)
+        il = 1 if qb > 3 else 0
+        iz = 1 if qb == 0 else 0
+        self.large += il
+        self.zero += iz
+        self.lflags[mi] = il
+        self.zflags[mi] = iz
+        bias = 0
+        if self.filled > 0 and mean > 0:
+            if self.filled == C.DRIFT_WINDOW:
+                lm = (self.wsum + 128) >> 8
+            else:
+                lm = (self.wsum + (self.filled >> 1)) // self.filled
+            if lm * 3 > mean * 4:
+                bias = 1
+            elif lm * 4 + 3 < mean * 3:
+                bias = -1
+        if self.widx + 1 >= C.MICRO_WINDOW or self.filled >= C.MICRO_WINDOW:
+            ws = C.MICRO_WINDOW if self.filled >= C.MICRO_WINDOW else self.filled
+            if self.large * 4 >= ws * 3:
+                bias = min(bias + 1, 1)
+            elif self.zero * 5 >= ws * 4:
+                bias = max(bias - 1, -1)
+        self.midx = 0 if self.midx + 1 == C.MICRO_WINDOW else self.midx + 1
+        self.widx = (self.widx + 1) & (C.DRIFT_WINDOW - 1)
+        return max(0, min(31, k + bias))
+
+
+def _adapt_stateless(total, count):
+    if count == 0:
+        return 0
+    mean = (total + (count >> 1)) // count
+    if mean <= 1:
+        return 0
+    return min(31, (mean - 1).bit_length())
+
+
+def _decode_residual_segment(r, samples, initial_k, mode, out, offset, stateless):
+    if mode > C.MODE_STATIC:
+        return False
+    k = initial_k
+    total = 0
+    count = 0
+    state = None if stateless else _StatefulK()
+
+    def step(u):
+        nonlocal total, count, k
+        total += u
+        count += 1
+        k = _adapt_stateless(total, count) if stateless else state.adapt(total, count)
+
+    if mode == C.MODE_RICE:
+        for i in range(samples):
+            u = _read_rice_unsigned(r, k)
+            if u is None:
+                return False
+            out[offset + i] = zigzag_decode(u)
+            step(u)
+        return True
+
+    if mode == C.MODE_ZERO_RUN:
+        idx = 0
+        while idx < samples:
+            tag = r.read_bits(2)
+            if r.has_error() or tag > C.ZR_TAG_ESCAPE:
+                return False
+            if tag == C.ZR_TAG_NORMAL:
+                u = _read_rice_unsigned(r, k)
+                if u is None or idx >= samples:
+                    break
+                out[offset + idx] = zigzag_decode(u)
+                idx += 1
+                step(u)
+            elif tag == C.ZR_TAG_RUN:
+                enc = _read_rice_unsigned(r, C.ZERO_RUN_LENGTH_K)
+                if enc is None or enc > 0xFFFFFFFF - C.ZERO_RUN_MIN_LENGTH:
+                    return False
+                run = enc + C.ZERO_RUN_MIN_LENGTH
+                if run > samples - idx:
+                    return False
+                for j in range(run):
+                    out[offset + idx + j] = 0
+                idx += run
+                if stateless:
+                    count += run
+                    k = _adapt_stateless(total, count)
+                else:
+                    for _ in range(run):
+                        count += 1
+                        k = state.adapt(total, count)
+            else:  # escape
+                if idx >= samples:
+                    return False
+                zz = r.read_bits(32)
+                if r.has_error():
+                    break
+                out[offset + idx] = zigzag_decode(zz)
+                idx += 1
+                step(zz)
+        return idx == samples
+
+    if mode == C.MODE_BIN:
+        idx = 0
+        while idx < samples:
+            tag = r.read_bits(2)
+            if r.has_error():
+                return False
+            if tag == C.BIN_TAG_ZERO:
+                value, u = 0, 0
+            elif tag == C.BIN_TAG_ONE:
+                sign = r.read_bit()
+                if r.has_error():
+                    return False
+                value = 1 if sign == 0 else -1
+                u = 2 if sign == 0 else 1
+            elif tag == C.BIN_TAG_TWO:
+                sign = r.read_bit()
+                if r.has_error():
+                    return False
+                value = 2 if sign == 0 else -2
+                u = 4 if sign == 0 else 3
+            else:  # fallback
+                u = _read_rice_unsigned(r, k)
+                if u is None:
+                    return False
+                value = zigzag_decode(u)
+            out[offset + idx] = value
+            idx += 1
+            step(u)
+        return idx == samples
+
+    # static rice
+    for i in range(samples):
+        u = _read_rice_unsigned(r, initial_k)
+        if u is None:
+            return False
+        out[offset + i] = zigzag_decode(u)
+    return True
+
+
+def decode_channel_block(r: BitReader, block_size: int):
+    """Decode one channel block -> int32 array, or None on any
+    non-canonical input (block/decoder.cpp:64-520)."""
+    if block_size == 0 or block_size > C.MAX_BLOCK_SIZE:
+        return None
+    predictor_type = r.read_bits(8)
+    order = r.read_bits(8)
+    if r.has_error():
+        return None
+    if predictor_type > 2:
+        return None
+    if predictor_type == C.PREDICTOR_LPC:
+        if order <= 0 or order > 32 or order >= block_size:
+            return None
+    elif predictor_type == C.PREDICTOR_FIR:
+        if order != 2:
+            return None
+    else:
+        if order > 4:
+            return None
+
+    coeffs = np.zeros(33, dtype=np.int64)
+    if predictor_type == C.PREDICTOR_LPC:
+        for i in range(1, order + 1):
+            cv = r.read_bits(16)
+            if r.has_error():
+                return None
+            coeffs[i] = cv - 0x10000 if cv >= 0x8000 else cv
+
+    control = r.read_bits(8)
+    if r.has_error():
+        return None
+    parsed = parse_control_byte(control)
+    if parsed is None:
+        return None
+    control_mode, partition_order = parsed
+    if partition_order > 0 and (block_size >> partition_order) < C.MIN_PARTITION_SIZE:
+        return None
+    partition_count = 1 if partition_order == 0 else (1 << partition_order)
+    if _partition_size_at(block_size, partition_order, partition_count - 1, partition_count) == 0:
+        return None
+
+    part_modes, part_k = [], []
+    for _ in range(partition_count):
+        m = r.read_bits(2)
+        k = r.read_bits(5)
+        if r.has_error() or m > C.MODE_STATIC:
+            return None
+        part_modes.append(m)
+        part_k.append(k)
+    if part_modes[0] != control_mode:
+        return None
+
+    out = np.zeros(block_size, dtype=np.int64)
+    stateless = partition_order > 0
+    offset = 0
+    for i in range(partition_count):
+        psz = _partition_size_at(block_size, partition_order, i, partition_count)
+        if not _decode_residual_segment(r, psz, part_k[i], part_modes[i], out, offset, stateless):
+            return None
+        offset += psz
+    if offset != block_size:
+        return None
+    if not r.consume_zero_padding_to_byte():
+        return None
+
+    res = out.astype(np.int32)[None, :]
+    if predictor_type == C.PREDICTOR_FIXED:
+        samples, ok = predictors.fixed_restore(res, order)
+    elif predictor_type == C.PREDICTOR_FIR:
+        samples, ok = predictors.fir_restore(res)
+    else:
+        samples, ok = predictors.lpc_restore(res, coeffs[None, :], order)
+    if not bool(np.asarray(ok)[0]):
+        return None
+    return np.asarray(samples, dtype=np.int64)[0]
+
+
+def _validate_pcm_range(samples, bit_depth):
+    lo, hi = C.pcm_range(bit_depth)
+    return bool(samples.size == 0 or (samples.min() >= lo and samples.max() <= hi))
+
+
+class FrameDecoder:
+    """Whole-frame decoder (lac/decoder.cpp:76-303)."""
+
+    def __init__(self):
+        self.thread_count = 0
+
+    def set_thread_count(self, n):
+        self.thread_count = n
+
+    def decode(self, data: bytes):
+        """-> (left int32 array, right int32 array, FrameHeader).
+
+        Raises DecodeError on any invalid input.
+        """
+        if not data:
+            raise DecodeError("[decode-error] empty input")
+        parsed = FrameHeader.parse(data)
+        if parsed is None:
+            raise DecodeError("[decode-error] invalid frame header")
+        hdr, header_bytes = parsed
+        payload = data[header_bytes:]
+        br = BitReader(payload)
+
+        block_count = br.read_bits(32)
+        if br.has_error() or block_count == 0 or block_count > C.MAX_BLOCK_COUNT:
+            raise DecodeError("[decode-error] invalid block count")
+        has_sizes = hdr.version >= 3
+        words = 2 if has_sizes else 1
+        if block_count > br.bits_remaining() // (32 * words):
+            raise DecodeError("[decode-error] truncated block size table")
+
+        block_sizes, payload_sizes = [], []
+        total_samples = 0
+        total_payload = 0
+        for i in range(block_count):
+            sz = br.read_bits(32)
+            if br.has_error() or sz == 0 or sz > C.MAX_BLOCK_SIZE or (
+                i + 1 < block_count and sz < C.MIN_CANONICAL_NON_FINAL_BLOCK_SIZE
+            ):
+                raise DecodeError("[decode-error] invalid block size")
+            total_samples += sz
+            if total_samples > C.MAX_TOTAL_SAMPLES:
+                raise DecodeError("[decode-error] total samples exceed maximum")
+            block_sizes.append(sz)
+            if has_sizes:
+                psz = br.read_bits(32)
+                if br.has_error() or psz == 0:
+                    raise DecodeError("[decode-error] invalid compressed block size")
+                total_payload += psz
+                if total_payload > len(payload):
+                    raise DecodeError("[decode-error] compressed block sizes exceed frame payload")
+                payload_sizes.append(psz)
+
+        if total_samples * hdr.channels * 4 > C.MAX_DECODED_PCM_BYTES:
+            raise DecodeError("[decode-error] decoded PCM allocation exceeds maximum")
+        wav_data = total_samples * hdr.channels * (hdr.bit_depth // 8)
+        if 36 + wav_data + (wav_data & 1) > 0xFFFFFFFF:
+            raise DecodeError("[decode-error] decoded WAV data exceeds RIFF limit")
+
+        is_stereo = hdr.channels == 2
+        per_block = is_stereo and hdr.stereo_mode == C.STEREO_PER_BLOCK
+        force_ms = is_stereo and hdr.stereo_mode == C.STEREO_MS
+
+        left = np.zeros(total_samples, dtype=np.int32)
+        right = np.zeros(total_samples, dtype=np.int32) if is_stereo else np.empty(0, np.int32)
+        offsets = np.concatenate([[0], np.cumsum(block_sizes)]).astype(np.int64)
+
+        def decode_block(i, block_reader):
+            mid_side = force_ms
+            if per_block:
+                flag = block_reader.read_bits(8)
+                if block_reader.has_error() or flag > 1:
+                    raise DecodeError("[decode-error] invalid per-block stereo flag")
+                mid_side = flag == 1
+            off = int(offsets[i])
+            sz = block_sizes[i]
+            a = decode_channel_block(block_reader, sz)
+            if a is None:
+                raise DecodeError(f"[decode-error] block={i} channel=primary")
+            if is_stereo:
+                b = decode_channel_block(block_reader, sz)
+                if b is None:
+                    raise DecodeError(f"[decode-error] block={i} channel=secondary")
+            if not is_stereo:
+                if not _validate_pcm_range(a, hdr.bit_depth):
+                    raise DecodeError("[decode-error] decoded sample outside PCM bit depth")
+                left[off : off + sz] = a
+            elif mid_side:
+                l64, r64 = ms_inverse(a, b)
+                if not (_validate_pcm_range(l64, hdr.bit_depth) and _validate_pcm_range(r64, hdr.bit_depth)):
+                    raise DecodeError("[decode-error] decoded sample outside PCM bit depth")
+                left[off : off + sz] = l64
+                right[off : off + sz] = r64
+            else:
+                if not (_validate_pcm_range(a, hdr.bit_depth) and _validate_pcm_range(b, hdr.bit_depth)):
+                    raise DecodeError("[decode-error] decoded sample outside PCM bit depth")
+                left[off : off + sz] = a
+                right[off : off + sz] = b
+
+        if not has_sizes:
+            # v2 legacy: serial in-order decode over one reader
+            for i in range(block_count):
+                decode_block(i, br)
+            if br.bits_remaining() != 0:
+                raise DecodeError("[decode-error] trailing frame payload")
+        else:
+            if br.bits_remaining() % 8 != 0:
+                raise DecodeError("[decode-error] unaligned compressed block payload")
+            avail = br.bits_remaining() // 8
+            if total_payload != avail:
+                raise DecodeError("[decode-error] compressed block sizes do not match frame payload")
+            block_payload = payload[len(payload) - avail :]
+            poff = 0
+            for i in range(block_count):
+                sub = block_payload[poff : poff + payload_sizes[i]]
+                sub_reader = BitReader(sub)
+                decode_block(i, sub_reader)
+                if sub_reader.bits_remaining() != 0:
+                    raise DecodeError(f"[decode-error] block={i} channel=trailing-payload")
+                poff += payload_sizes[i]
+
+        if is_stereo and len(right) != len(left):
+            raise DecodeError("[decode-error] stereo channel size mismatch")
+        return left, right, hdr
