@@ -29,6 +29,12 @@ def pack_stream(unary, field_val, field_len) -> bytes:
     if unary.size == 0:
         return b""
 
+    from ..runtime.native import pack_stream_native
+
+    packed = pack_stream_native(unary, field_val, field_len)
+    if packed is not None:
+        return packed
+
     elem_bits = unary + field_len
     offsets = np.concatenate(([0], np.cumsum(elem_bits)))
     total_bits = int(offsets[-1])

@@ -304,8 +304,9 @@ def _validate_pcm_range(samples, bit_depth):
 class FrameDecoder:
     """Whole-frame decoder (lac/decoder.cpp:76-303)."""
 
-    def __init__(self):
+    def __init__(self, use_native=True):
         self.thread_count = 0
+        self.use_native = use_native
 
     def set_thread_count(self, n):
         self.thread_count = n
@@ -413,14 +414,42 @@ class FrameDecoder:
             if total_payload != avail:
                 raise DecodeError("[decode-error] compressed block sizes do not match frame payload")
             block_payload = payload[len(payload) - avail :]
-            poff = 0
-            for i in range(block_count):
-                sub = block_payload[poff : poff + payload_sizes[i]]
-                sub_reader = BitReader(sub)
-                decode_block(i, sub_reader)
-                if sub_reader.bits_remaining() != 0:
-                    raise DecodeError(f"[decode-error] block={i} channel=trailing-payload")
-                poff += payload_sizes[i]
+            payload_offsets = np.concatenate([[0], np.cumsum(payload_sizes)])[:-1]
+
+            native_done = False
+            if self.use_native:
+                from .runtime.native import decode_v3_blocks_native
+
+                try:
+                    res = decode_v3_blocks_native(
+                        block_payload, payload_offsets, payload_sizes, block_sizes,
+                        offsets[:-1], hdr.channels, hdr.stereo_mode, hdr.bit_depth,
+                        total_samples, self.thread_count,
+                    )
+                except ValueError as e:
+                    # re-decode the failing block in Python for the
+                    # detailed canonical error message
+                    bad = int(str(e).split("=")[1])
+                    sub = block_payload[
+                        int(payload_offsets[bad]) : int(payload_offsets[bad]) + payload_sizes[bad]
+                    ]
+                    sub_reader = BitReader(sub)
+                    decode_block(bad, sub_reader)
+                    if sub_reader.bits_remaining() != 0:
+                        raise DecodeError(f"[decode-error] block={bad} channel=trailing-payload")
+                    raise DecodeError(f"[decode-error] block={bad} channel=primary")
+                if res is not None:
+                    left, right = res
+                    native_done = True
+            if not native_done:
+                for i in range(block_count):
+                    sub = block_payload[
+                        int(payload_offsets[i]) : int(payload_offsets[i]) + payload_sizes[i]
+                    ]
+                    sub_reader = BitReader(sub)
+                    decode_block(i, sub_reader)
+                    if sub_reader.bits_remaining() != 0:
+                        raise DecodeError(f"[decode-error] block={i} channel=trailing-payload")
 
         if is_stereo and len(right) != len(left):
             raise DecodeError("[decode-error] stereo channel size mismatch")

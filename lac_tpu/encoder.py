@@ -5,33 +5,32 @@ The reference encodes one block at a time with per-sample loops
 *group* of equal-length channel blocks (thousands in flight on TPU):
 
 1. candidate residuals: fixed 0-4, FIR, LPC {4,6,8,10,12} — stencils and
-   Q15 dots (predictors.py), one Levinson-Durbin recursion per block
-   yielding all candidate orders (lpc.py);
+   Q15 dots (predictors.py); exact autocorrelation runs on device, the
+   tiny 80-bit Levinson-Durbin recursion on host (lpc.py);
 2. exact cost models: shared adapted k-sequence per candidate (adapt.py)
    + rice/zr/bin/static reductions (costs.py);
 3. selection: argmin with the reference's exact tie-breaks
    (encoder.cpp:352-359, 441-456);
 4. partition sweep p=1..8 with stateless adaptation and the 5%
    decode-speed margins (encoder.cpp:486-552);
-5. emission: per-token (head, unary, tail) arrays -> prefix-sum/scatter
-   bit packing (bitio.pack).
+5. per-token emission fields (head/unary/tail) for the chosen plan.
 
-Groups are keyed by block length, so no masking is needed inside a
-group and XLA sees static shapes.
+Stages 1 (sans LD), 2-5 compose into one jittable function
+(`plan_group`); the host only runs Levinson-Durbin, prefix-sum/scatter
+bit packing, and frame assembly. Groups are keyed by block length, so
+XLA sees static shapes and no masking is needed.
 """
+
+import functools
 
 import numpy as np
 
 from .bitio.pack import pack_stream
 from .format import constants as C
+from .format.partitions import control_byte, max_partition_order_for_block
 from .format.zigzag import zigzag_encode
-from .ops import adapt, costs, lpc, predictors, runs
-from .ops._backend import shift_right
-
-
-def _pad_to_byte(bits, xp=np):
-    return bits + ((xp.uint64(8) - (bits & xp.uint64(7))) & xp.uint64(7))
-
+from .ops import adapt, lpc, predictors, runs
+from .ops._backend import is_jax
 
 # candidate table: (predictor_type, order_param), in consideration order
 _CANDIDATES = (
@@ -39,492 +38,459 @@ _CANDIDATES = (
     + [(C.PREDICTOR_FIR, C.FIR_ORDER)]
     + [(C.PREDICTOR_LPC, o) for o in C.LPC_ORDER_CANDIDATES]
 )
+_NCAND = len(_CANDIDATES)
+_LPC_BASE = 6  # index of the first LPC candidate
+
+
+def _pad_to_byte(bits, xp):
+    return bits + ((xp.uint64(8) - (bits & xp.uint64(7))) & xp.uint64(7))
+
+
+def _rice_cost(u, k_used, xp):
+    q = xp.where(k_used >= xp.int32(C.MAX_RICE_K), xp.uint64(0), u >> k_used.astype(xp.uint64))
+    return q + xp.uint64(1) + k_used.astype(xp.uint64)
+
+
+def _mode_cost_fields(v, u, k_used, run_len, long_run, run_start, xp):
+    """Per-sample bit costs for rice / zr / bin (encoder.cpp:201-263)."""
+    rice_per = _rice_cost(u, k_used, xp)
+    absv = xp.abs(v.astype(xp.int64))
+    bin_per = xp.where(absv == 0, xp.uint64(2), xp.where(absv <= 2, xp.uint64(3), xp.uint64(2) + rice_per))
+    esc_shift = xp.minimum(k_used + C.ESCAPE_K_OFFSET, xp.int32(C.ESCAPE_K_CAP))
+    esc = xp.uint64(1) << esc_shift.astype(xp.uint64)
+    token_per = xp.uint64(2) + xp.where(u > esc, xp.uint64(32), rice_per)
+    run_per = (
+        xp.uint64(2)
+        + ((run_len - C.ZERO_RUN_MIN_LENGTH).astype(xp.uint64) >> xp.uint64(C.ZERO_RUN_LENGTH_K))
+        + xp.uint64(1 + C.ZERO_RUN_LENGTH_K)
+    )
+    zr_per = xp.where(run_start, run_per, xp.where(long_run, xp.uint64(0), token_per))
+    return rice_per, bin_per, zr_per
+
+
+def _k_costs_stack(u, weights, k_max, xp):
+    """Weighted rice-cost sums for k in [0, k_max]: (..., k_max+1)."""
+    return xp.stack(
+        [xp.sum(((u >> xp.uint64(k)) + xp.uint64(1 + k)) * weights, axis=-1) for k in range(k_max + 1)],
+        axis=-1,
+    )
+
+
+def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, xp):
+    """Pure array program: pcm (B, n) + LPC analysis -> full encode plan.
+
+    ``lpc_coeffs``: (5, B, 13) int16 Q15 candidate coefficient sets;
+    ``lpc_valid``: (5, B) bool (stable, achieved order > 0, order fits).
+
+    Returns a dict of plan arrays (see end of function). Jittable.
+    """
+    B = pcm.shape[0]
+    pcm = pcm.astype(xp.int32)
+    idx = xp.arange(n, dtype=xp.int64)
+
+    # ---- candidate residuals (B, ncand, n)
+    res_list = [predictors.fixed_residual(pcm, o, xp=xp) for o in range(5)]
+    res_list.append(predictors.fir_residual(pcm, xp=xp))
+    lpc_ok = []
+    for li in range(len(C.LPC_ORDER_CANDIDATES)):
+        r, in_range = predictors.lpc_residual(pcm, lpc_coeffs[li], 12, xp=xp)
+        res_list.append(r)
+        lpc_ok.append(in_range)
+    residuals = xp.stack(res_list, axis=1)
+    lpc_in_range = xp.stack(lpc_ok, axis=0)  # (5, B) — overflow fallback flag
+    valid = xp.concatenate([xp.ones((B, _LPC_BASE), dtype=bool), (lpc_valid & lpc_in_range).T], axis=1)
+
+    # ---- whole-block stateful scoring per candidate
+    u = zigzag_encode(residuals).astype(xp.uint64)
+    scan = min(C.INITIAL_SCAN_COUNT, n)
+    head_costs = _k_costs_stack(u[..., :scan], xp.uint64(1), C.INITIAL_MAX_K, xp)
+    initial_k = xp.argmin(head_costs, axis=-1).astype(xp.int32)
+
+    k_after = adapt.k_after_stateful(u, xp=xp)
+    k_used = adapt.k_used_from_after(k_after, initial_k, xp=xp)
+
+    z = residuals == 0
+    run_len, long_run, run_start = runs.zero_run_info(z, idx, xp.int64(n), xp=xp)
+    rice_per, bin_per, zr_per = _mode_cost_fields(residuals, u, k_used, run_len, long_run, run_start, xp)
+    rice_bits = xp.sum(rice_per, axis=-1)
+    bin_bits = xp.sum(bin_per, axis=-1)
+    zr_bits = xp.sum(zr_per, axis=-1)
+    has_run = xp.any(run_start, axis=-1)
+
+    static_costs = _k_costs_stack(u, xp.uint64(1), C.MAX_STATIC_K, xp)
+    static_k = xp.argmin(static_costs, axis=-1).astype(xp.int32)
+    static_bits = xp.min(static_costs, axis=-1)
+
+    # ---- candidate selection (tie-break: lower predictor_type)
+    zr_eff = xp.where(has_run, zr_bits, rice_bits) if zero_run_enabled else rice_bits
+    best_bits_all = xp.minimum(xp.minimum(rice_bits, static_bits), xp.minimum(zr_eff, bin_bits))
+    ptype_tab = [t for t, _ in _CANDIDATES]
+    UMAX = xp.uint64(0xFFFFFFFFFFFFFFFF)
+    sel_bits = xp.full((B,), UMAX, dtype=xp.uint64)
+    sel_type = xp.full((B,), xp.int32(127), dtype=xp.int32)
+    sel_idx = xp.zeros((B,), dtype=xp.int32)
+    for ci in range(_NCAND):
+        bits = best_bits_all[:, ci]
+        ok = valid[:, ci]
+        better = ok & ((bits < sel_bits) | ((bits == sel_bits) & (xp.int32(ptype_tab[ci]) < sel_type)))
+        sel_bits = xp.where(better, bits, sel_bits)
+        sel_type = xp.where(better, xp.int32(ptype_tab[ci]), sel_type)
+        sel_idx = xp.where(better, xp.int32(ci), sel_idx)
+
+    g2 = lambda a: xp.take_along_axis(a, sel_idx[:, None], axis=1)[:, 0]
+    g3 = lambda a: xp.take_along_axis(a, sel_idx[:, None, None], axis=1)[:, 0]
+    v_w = g3(residuals)
+    u_w = g3(u)
+    k_after_w = g3(k_after)
+    initial_k_w = g2(initial_k)
+    static_k_w = g2(static_k)
+
+    # ---- whole-block residual-mode choice (encoder.cpp:441-456)
+    rice_w, zr_w, bin_w, static_w = g2(rice_bits), g2(zr_eff), g2(bin_bits), g2(static_bits)
+    has_run_w = g2(has_run)
+    allow_zr = has_run_w if zero_run_enabled else xp.zeros((B,), dtype=bool)
+    best = rice_w
+    base_mode = xp.zeros((B,), dtype=xp.int32)
+    take = allow_zr & (zr_w <= best)
+    best = xp.where(take, zr_w, best)
+    base_mode = xp.where(take, xp.int32(C.MODE_ZERO_RUN), base_mode)
+    take = bin_w < best
+    best = xp.where(take, bin_w, best)
+    base_mode = xp.where(take, xp.int32(C.MODE_BIN), base_mode)
+    take_static = static_w < best
+    best = xp.where(take_static, static_w, best)
+    base_mode = xp.where(take_static, xp.int32(C.MODE_STATIC), base_mode)
+    base_k = xp.where(take_static, static_k_w, initial_k_w)
+
+    # ---- partition sweep
+    max_p = max_partition_order_for_block(n) if (partitioning_enabled and n >= C.MIN_PARTITION_SIZE) else 0
+    max_parts = 1 << max_p
+    # chosen plan storage: [p stages] — filled progressively
+    best_p = xp.zeros((B,), dtype=xp.int32)
+    best_total = _pad_to_byte(best + xp.uint64(8 + 7), xp)
+    sel_modes = xp.zeros((B, max_parts), dtype=xp.int32)
+    sel_ks = xp.zeros((B, max_parts), dtype=xp.int32)
+    sel_modes = sel_modes.at[:, 0].set(base_mode) if is_jax(xp) else _np_setcol(sel_modes, 0, base_mode)
+    sel_ks = sel_ks.at[:, 0].set(base_k) if is_jax(xp) else _np_setcol(sel_ks, 0, base_k)
+
+    # p-independent precomputations, reused by every sweep iteration:
+    # inclusive cumsum of u (stateless k), zero-run breaks, and per-k
+    # rice-cost cumsums (k-cost segment sums become boundary gathers).
+    if max_p > 0:
+        cs_u = xp.cumsum(u_w, axis=-1)
+        zw0 = v_w == 0
+        last_nz, next_nz = runs.zero_breaks(zw0, xp=xp)
+        zero1 = xp.zeros((B, 1), dtype=xp.uint64)
+        csk = [
+            xp.concatenate([zero1, xp.cumsum((u_w >> xp.uint64(k)) + xp.uint64(1 + k), axis=-1)], axis=-1)
+            for k in range(C.MAX_STATIC_K + 1)
+        ]
+
+    for p in range(1, max_p + 1):
+        base = n >> p
+        nparts = 1 << p
+        seg_idx = xp.minimum(idx // base, xp.int64(nparts - 1))
+        pos = idx - seg_idx * base
+        seg_end = xp.where(seg_idx == nparts - 1, xp.int64(n), (seg_idx + 1) * base)
+        starts_1d = np.minimum(np.arange(nparts, dtype=np.int64) * base, n)
+        ends_1d = np.concatenate([starts_1d[1:], [n]])
+        head_ends_1d = np.minimum(starts_1d + C.INITIAL_SCAN_COUNT, ends_1d)
+
+        def segsum(per):
+            cs = xp.cumsum(per, axis=-1)
+            csz = xp.concatenate([xp.zeros(per.shape[:-1] + (1,), dtype=per.dtype), cs], axis=-1)
+            return csz[..., ends_1d] - csz[..., starts_1d]
+
+        hc = xp.stack(
+            [csk[k][..., head_ends_1d] - csk[k][..., starts_1d] for k in range(C.INITIAL_MAX_K + 1)],
+            axis=-1,
+        )
+        init_k_seg = xp.argmin(hc, axis=-1).astype(xp.int32)  # (B, nparts)
+        init_per_sample = xp.take_along_axis(init_k_seg, xp.broadcast_to(seg_idx, (B, n)), axis=-1)
+        k_used_p = adapt.k_used_stateless_from_cumsum(cs_u, pos, init_per_sample, xp=xp)
+
+        rl_p, long_p, start_p = runs.run_geometry(zw0, last_nz, next_nz, pos, seg_end, xp=xp)
+        rice_pp, bin_pp, zr_pp = _mode_cost_fields(v_w, u_w, k_used_p, rl_p, long_p, start_p, xp)
+        rice_s, bin_s, zr_s = segsum(rice_pp), segsum(bin_pp), segsum(zr_pp)
+        has_run_s = segsum(start_p.astype(xp.uint64)) > 0
+
+        sc = xp.stack(
+            [csk[k][..., ends_1d] - csk[k][..., starts_1d] for k in range(C.MAX_STATIC_K + 1)],
+            axis=-1,
+        )
+        static_k_s = xp.argmin(sc, axis=-1).astype(xp.int32)
+        static_s = xp.min(sc, axis=-1)
+
+        allow_zr_s = has_run_s if zero_run_enabled else xp.zeros_like(has_run_s)
+        mode_s = xp.zeros((B, nparts), dtype=xp.int32)
+        bits_s = rice_s
+        k_s = init_k_seg
+        tk = allow_zr_s & (zr_s < bits_s)
+        bits_s = xp.where(tk, zr_s, bits_s)
+        mode_s = xp.where(tk, xp.int32(C.MODE_ZERO_RUN), mode_s)
+        tk = bin_s < bits_s
+        bits_s = xp.where(tk, bin_s, bits_s)
+        mode_s = xp.where(tk, xp.int32(C.MODE_BIN), mode_s)
+        tk = (static_s < bits_s) | (static_s <= bits_s + bits_s // xp.uint64(C.DECODE_SPEED_MARGIN_DIVISOR))
+        bits_s = xp.where(tk, static_s, bits_s)
+        mode_s = xp.where(tk, xp.int32(C.MODE_STATIC), mode_s)
+        k_s = xp.where(tk, static_k_s, k_s)
+
+        total = _pad_to_byte(xp.sum(bits_s, axis=-1) + xp.uint64(8 + 7 * nparts), xp)
+        margin = best_total // xp.uint64(C.DECODE_SPEED_MARGIN_DIVISOR)
+        accept = (total < best_total) | ((total <= best_total + margin) & (best_p == 0)) | ((total == best_total) & (xp.int32(p) < best_p))
+        best_total = xp.where(accept, total, best_total)
+        best_p = xp.where(accept, xp.int32(p), best_p)
+        pad_cols = max_parts - nparts
+        mode_pad = xp.concatenate([mode_s, xp.zeros((B, pad_cols), dtype=xp.int32)], axis=1) if pad_cols else mode_s
+        k_pad = xp.concatenate([k_s, xp.zeros((B, pad_cols), dtype=xp.int32)], axis=1) if pad_cols else k_s
+        sel_modes = xp.where(accept[:, None], mode_pad, sel_modes)
+        sel_ks = xp.where(accept[:, None], k_pad, sel_ks)
+
+    # ---- emission fields for the chosen plan (per-lane geometry)
+    base_len = xp.maximum(xp.int64(n) >> best_p.astype(xp.int64), xp.int64(1))[:, None]  # (B,1)
+    nparts_l = (xp.int64(1) << best_p.astype(xp.int64))[:, None]
+    seg_idx = xp.minimum(idx[None, :] // base_len, nparts_l - 1)
+    pos = idx[None, :] - seg_idx * base_len
+    seg_end = xp.where(seg_idx == nparts_l - 1, xp.int64(n), (seg_idx + 1) * base_len)
+
+    mode_smp = xp.take_along_axis(sel_modes, seg_idx, axis=-1)
+    kfield_smp = xp.take_along_axis(sel_ks, seg_idx, axis=-1)
+
+    # adaptive k: stateful for p=0 (seeded with the *adaptive* initial k,
+    # even when the metadata k is static), stateless per partition else
+    k_used_stateful = adapt.k_used_from_after(k_after_w, initial_k_w, xp=xp)
+    k_used_stateless = adapt.k_used_stateless_segmented(u_w, pos, kfield_smp, xp=xp)
+    k_adaptive = xp.where((best_p == 0)[:, None], k_used_stateful, k_used_stateless)
+    k_eff = xp.where(mode_smp == C.MODE_STATIC, kfield_smp, k_adaptive).astype(xp.int32)
+
+    zw = v_w == 0
+    run_len_e, long_e, start_e = runs.zero_run_info(zw, pos, seg_end, xp=xp)
+
+    ku = k_eff.astype(xp.uint64)
+    q = u_w >> ku  # k <= 31 always on the wire (Rice::encode guard is k>=32)
+    rem = u_w & ((xp.uint64(1) << ku) - xp.uint64(1))
+
+    head_val = xp.zeros((B, n), dtype=xp.uint64)
+    head_len = xp.zeros((B, n), dtype=xp.int64)
+    unary = xp.zeros((B, n), dtype=xp.int64)
+    tail_val = xp.zeros((B, n), dtype=xp.uint64)
+    tail_len = xp.zeros((B, n), dtype=xp.int64)
+
+    is_rice = (mode_smp == C.MODE_RICE) | (mode_smp == C.MODE_STATIC)
+    unary = xp.where(is_rice, q.astype(xp.int64), unary)
+    tail_val = xp.where(is_rice, rem, tail_val)
+    tail_len = xp.where(is_rice, (ku + xp.uint64(1)).astype(xp.int64), tail_len)
+
+    is_bin = mode_smp == C.MODE_BIN
+    absv = xp.abs(v_w.astype(xp.int64))
+    sign = (v_w < 0).astype(xp.uint64)
+    sel1 = is_bin & (absv == 1)
+    sel2 = is_bin & (absv == 2)
+    self_ = is_bin & (absv == 0)
+    bf = is_bin & (absv > 2)
+    head_val = xp.where(self_, xp.uint64(C.BIN_TAG_ZERO), head_val)
+    head_len = xp.where(self_, xp.int64(2), head_len)
+    head_val = xp.where(sel1, (xp.uint64(C.BIN_TAG_ONE) << xp.uint64(1)) | sign, head_val)
+    head_len = xp.where(sel1, xp.int64(3), head_len)
+    head_val = xp.where(sel2, (xp.uint64(C.BIN_TAG_TWO) << xp.uint64(1)) | sign, head_val)
+    head_len = xp.where(sel2, xp.int64(3), head_len)
+    head_val = xp.where(bf, xp.uint64(C.BIN_TAG_FALLBACK), head_val)
+    head_len = xp.where(bf, xp.int64(2), head_len)
+    unary = xp.where(bf, q.astype(xp.int64), unary)
+    tail_val = xp.where(bf, rem, tail_val)
+    tail_len = xp.where(bf, (ku + xp.uint64(1)).astype(xp.int64), tail_len)
+
+    is_zr = mode_smp == C.MODE_ZERO_RUN
+    esc_shift = xp.minimum(k_eff + C.ESCAPE_K_OFFSET, xp.int32(C.ESCAPE_K_CAP))
+    escape = is_zr & ~long_e & (u_w > (xp.uint64(1) << esc_shift.astype(xp.uint64)))
+    normal = is_zr & ~long_e & ~escape
+    zr_run = is_zr & start_e
+    silent = is_zr & long_e & ~start_e
+    rl_u = (run_len_e - C.ZERO_RUN_MIN_LENGTH).astype(xp.uint64)
+    head_val = xp.where(zr_run, xp.uint64(C.ZR_TAG_RUN), head_val)
+    head_len = xp.where(zr_run, xp.int64(2), head_len)
+    unary = xp.where(zr_run, (rl_u >> xp.uint64(C.ZERO_RUN_LENGTH_K)).astype(xp.int64), unary)
+    tail_val = xp.where(zr_run, rl_u & xp.uint64(3), tail_val)
+    tail_len = xp.where(zr_run, xp.int64(1 + C.ZERO_RUN_LENGTH_K), tail_len)
+    head_len = xp.where(silent, xp.int64(0), head_len)
+    head_val = xp.where(silent, xp.uint64(0), head_val)
+    unary = xp.where(silent, xp.int64(0), unary)
+    tail_len = xp.where(silent, xp.int64(0), tail_len)
+    head_val = xp.where(escape, xp.uint64(C.ZR_TAG_ESCAPE), head_val)
+    head_len = xp.where(escape, xp.int64(2), head_len)
+    unary = xp.where(escape, xp.int64(0), unary)
+    tail_val = xp.where(escape, u_w, tail_val)
+    tail_len = xp.where(escape, xp.int64(32), tail_len)
+    head_val = xp.where(normal, xp.uint64(C.ZR_TAG_NORMAL), head_val)
+    head_len = xp.where(normal, xp.int64(2), head_len)
+    unary = xp.where(normal, q.astype(xp.int64), unary)
+    tail_val = xp.where(normal, rem, tail_val)
+    tail_len = xp.where(normal, (ku + xp.uint64(1)).astype(xp.int64), tail_len)
+
+    return {
+        "sel_idx": sel_idx,
+        "best_p": best_p,
+        "sel_modes": sel_modes,
+        "sel_ks": sel_ks,
+        "lpc_in_range": lpc_in_range,
+        "head_val": head_val,
+        "head_len": head_len,
+        "unary": unary,
+        "tail_val": tail_val,
+        "tail_len": tail_len,
+    }
+
+
+def _np_setcol(a, col, vals):
+    a = a.copy()
+    a[:, col] = vals
+    return a
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_plan(n, zero_run_enabled, partitioning_enabled):
+    import jax
+    import jax.numpy as jnp
+
+    def f(pcm, lpc_coeffs, lpc_valid):
+        return plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, jnp)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_autocorr(order):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda x: lpc.autocorrelation(x, order, xp=jnp))
 
 
 class ChannelBlockEncoder:
     """Encodes groups of equal-length channel blocks to wire payloads."""
 
     def __init__(self, zero_run_enabled=True, partitioning_enabled=True, xp=np):
-        self.zero_run_enabled = zero_run_enabled
-        self.partitioning_enabled = partitioning_enabled
+        self.zero_run_enabled = bool(zero_run_enabled)
+        self.partitioning_enabled = bool(partitioning_enabled)
         self.xp = xp
 
-    # ------------------------------------------------------------ candidates
-    def _candidates(self, pcm):
-        """Residuals + validity for every candidate.
-
-        Returns (residuals (B, ncand, n) int32, valid (B, ncand) bool,
-        coeffs (B, 13) int16 — the winning-order snapshot per LPC cand is
-        stored per candidate in ``lpc_coeffs`` (ncand_lpc, B, 13),
-        used_orders (ncand_lpc, B) int32).
-        """
-        xp = self.xp
-        B, n = pcm.shape
-        res_list, valid_list = [], []
+    def _lpc_analysis(self, pcm_np, n):
+        """Device autocorrelation + host 80-bit LD -> candidate arrays."""
+        B = pcm_np.shape[0]
+        ncl = len(C.LPC_ORDER_CANDIDATES)
+        coeffs = np.zeros((ncl, B, 13), dtype=np.int16)
+        used = np.zeros((ncl, B), dtype=np.int32)
+        valid = np.zeros((ncl, B), dtype=bool)
         max_valid_order = min(32, n - 1) if n > 1 else 0
-
-        for o in range(5):
-            res_list.append(predictors.fixed_residual(pcm, o, xp=xp))
-            valid_list.append(xp.ones(B, dtype=bool))
-        res_list.append(predictors.fir_residual(pcm, xp=xp))
-        valid_list.append(xp.ones(B, dtype=bool))
-
-        lpc_coeffs = []
-        lpc_used = []
-        need_lpc = any(c <= max_valid_order for c in C.LPC_ORDER_CANDIDATES)
-        analysis = lpc.analyze_blocks(np.asarray(pcm), max_order=12, xp=xp) if need_lpc else None
-        for cand in C.LPC_ORDER_CANDIDATES:
+        if not any(c <= max_valid_order for c in C.LPC_ORDER_CANDIDATES):
+            return coeffs, used, valid, max_valid_order
+        if is_jax(self.xp):
+            R = np.asarray(_jitted_autocorr(12)(self.xp.asarray(pcm_np)))
+        else:
+            R = lpc.autocorrelation(pcm_np, 12)
+        Rld = np.asarray(R, dtype=np.longdouble)
+        Rld[:, 0] = np.maximum(Rld[:, 0], np.longdouble(1))
+        A, break_step = lpc.levinson_durbin_snapshots(Rld, 12)
+        analysis = {"A": A, "break_step": break_step}
+        for li, cand in enumerate(C.LPC_ORDER_CANDIDATES):
             if cand > max_valid_order:
-                res_list.append(xp.zeros((B, n), dtype=xp.int32))
-                valid_list.append(xp.zeros(B, dtype=bool))
-                lpc_coeffs.append(np.zeros((B, 13), np.int16))
-                lpc_used.append(np.zeros(B, np.int32))
                 continue
-            coeffs, ach, stable = lpc.candidate_coeffs_q15(analysis, cand)
-            cfull = np.zeros((B, 13), np.int16)
-            cfull[:, : cand + 1] = coeffs
-            residual, in_range = predictors.lpc_residual(pcm, xp.asarray(cfull), 12, xp=xp)
-            used = np.asarray(ach).copy()
-            ok = np.asarray(in_range)
-            if not ok.all():
-                # fallback order ladder (lpc.cpp:188-229) — unreachable for
-                # validated PCM input; handled per-lane on the host.
-                for row in np.nonzero(~ok)[0]:
-                    used[row], residual_row = self._ladder_fallback(
-                        np.asarray(pcm[row]), cfull[row], int(used[row])
-                    )
-                    residual = residual.at[row].set(residual_row) if hasattr(residual, "at") else residual
-                    if not hasattr(residual, "at"):
-                        residual[row] = residual_row
-                    cfull[row, used[row] + 1 :] = 0
-            res_list.append(residual)
-            valid_list.append(xp.asarray(stable & (used > 0)))
-            lpc_coeffs.append(cfull)
-            lpc_used.append(used.astype(np.int32))
+            cc, ach, stable = lpc.candidate_coeffs_q15(analysis, cand)
+            coeffs[li, :, : cand + 1] = cc
+            used[li] = ach
+            valid[li] = stable
+        return coeffs, used, valid, max_valid_order
 
-        residuals = xp.stack(res_list, axis=1)
-        valid = xp.stack(valid_list, axis=1)
-        return residuals, valid, lpc_coeffs, lpc_used, max_valid_order
+    # device batch bucket: groups are padded up to the next power of two
+    # (and chunked above the cap) so XLA compiles one executable per
+    # (block length, bucket) pair instead of one per exact batch size.
+    MAX_DEVICE_BATCH = 128
 
-    @staticmethod
-    def _ladder_fallback(x, coeffs, start_order):
-        """Host-side residual fallback ladder for int32-range overflow."""
-        attempts = [start_order]
-        for cand in C.LPC_FALLBACK_ORDERS:
-            if cand < start_order and cand not in attempts:
-                attempts.append(cand)
-        if 0 not in attempts:
-            attempts.append(0)
-        for o in attempts:
-            if o <= 0:
-                return 0, x.astype(np.int32)
-            c = coeffs.copy()
-            c[o + 1 :] = 0
-            r, ok = predictors.lpc_residual(x[None, :], c[None, :], 12)
-            if bool(np.asarray(ok)[0]):
-                return o, np.asarray(r)[0]
-        return 0, x.astype(np.int32)
-
-    # ------------------------------------------------------------- scoring
-    def _score_whole_block(self, residuals):
-        """Whole-block stateful scores for (B, ncand, n) residuals."""
-        xp = self.xp
-        n = residuals.shape[-1]
-        u = zigzag_encode(residuals).astype(xp.uint64)
-
-        # initial k: argmin over k<=12 of cost on the first min(256, n)
-        scan = min(C.INITIAL_SCAN_COUNT, n)
-        u_head = u[..., :scan]
-        head_costs = xp.stack(
-            [xp.sum((u_head >> xp.uint64(k)) + xp.uint64(1 + k), axis=-1) for k in range(C.INITIAL_MAX_K + 1)],
-            axis=-1,
-        )
-        initial_k = xp.argmin(head_costs, axis=-1).astype(xp.int32)
-
-        k_after = adapt.k_after_stateful(u, xp=xp)
-        k_used = adapt.k_used_from_after(k_after, initial_k, xp=xp)
-
-        pos = xp.arange(n, dtype=xp.int64)
-        z = residuals == 0
-        run_len, long_run, run_start = runs.zero_run_info(z, pos, xp.int64(n), xp=xp)
-
-        rice_per = costs.rice_cost_per_sample(u, k_used, xp=xp)
-        rice_bits = xp.sum(rice_per, axis=-1)
-
-        absv = xp.abs(residuals.astype(xp.int64))
-        bin_per = xp.where(absv == 0, xp.uint64(2), xp.where(absv <= 2, xp.uint64(3), xp.uint64(2) + rice_per))
-        bin_bits = xp.sum(bin_per, axis=-1)
-
-        esc_shift = xp.minimum(k_used + C.ESCAPE_K_OFFSET, xp.int32(C.ESCAPE_K_CAP))
-        esc = xp.uint64(1) << esc_shift.astype(xp.uint64)
-        token_per = xp.uint64(2) + xp.where(u > esc, xp.uint64(32), rice_per)
-        run_per = xp.uint64(2) + ((run_len - C.ZERO_RUN_MIN_LENGTH).astype(xp.uint64) >> xp.uint64(C.ZERO_RUN_LENGTH_K)) + xp.uint64(1 + C.ZERO_RUN_LENGTH_K)
-        zr_per = xp.where(run_start, run_per, xp.where(long_run, xp.uint64(0), token_per))
-        zr_bits = xp.sum(zr_per, axis=-1)
-        has_run = xp.any(run_start, axis=-1)
-
-        static_costs = xp.stack(
-            [xp.sum((u >> xp.uint64(k)) + xp.uint64(1 + k), axis=-1) for k in range(C.MAX_STATIC_K + 1)],
-            axis=-1,
-        )
-        static_k = xp.argmin(static_costs, axis=-1).astype(xp.int32)
-        static_bits = xp.min(static_costs, axis=-1)
-
-        return {
-            "u": u,
-            "initial_k": initial_k,
-            "k_used": k_used,
-            "rice": rice_bits,
-            "zr": zr_bits,
-            "bin": bin_bits,
-            "has_run": has_run,
-            "static_k": static_k,
-            "static": static_bits,
-        }
-
-    # ------------------------------------------------------------ selection
-    def _select_candidate(self, scores, valid):
-        """Reference consideration order + tie-breaks (encoder.cpp:337-419)."""
-        xp = self.xp
-        zr_eff = xp.where(
-            xp.asarray(self.zero_run_enabled) & scores["has_run"], scores["zr"], scores["rice"]
-        )
-        best_bits_all = xp.minimum(
-            xp.minimum(scores["rice"], scores["static"]), xp.minimum(zr_eff, scores["bin"])
-        )  # (B, ncand)
-        ptype = xp.asarray([t for t, _ in _CANDIDATES], dtype=xp.int32)
-
-        B = best_bits_all.shape[0]
-        UMAX = xp.uint64(0xFFFFFFFFFFFFFFFF)
-        sel_bits = xp.full((B,), UMAX, dtype=xp.uint64)
-        sel_type = xp.full((B,), xp.int32(127), dtype=xp.int32)
-        sel_idx = xp.zeros((B,), dtype=xp.int32)
-        have = xp.zeros((B,), dtype=bool)
-        for ci in range(len(_CANDIDATES)):
-            bits = best_bits_all[:, ci]
-            ok = valid[:, ci]
-            better = ok & (~have | (bits < sel_bits) | ((bits == sel_bits) & (ptype[ci] < sel_type)))
-            sel_bits = xp.where(better, bits, sel_bits)
-            sel_type = xp.where(better, ptype[ci], sel_type)
-            sel_idx = xp.where(better, xp.int32(ci), sel_idx)
-            have = have | ok
-        return sel_idx, have, zr_eff
-
-    # ----------------------------------------------------- base mode choice
-    def _base_mode(self, rice, zr_eff, bin_, static_, has_run, initial_k, static_k):
-        """Whole-block residual-mode choice (encoder.cpp:441-456)."""
-        xp = self.xp
-        allow_zr = xp.asarray(self.zero_run_enabled) & has_run
-        best = rice
-        mode = xp.zeros(rice.shape, dtype=xp.int32)
-        take_zr = allow_zr & (zr_eff <= best)
-        best = xp.where(take_zr, zr_eff, best)
-        mode = xp.where(take_zr, xp.int32(C.MODE_ZERO_RUN), mode)
-        take_bin = bin_ < best
-        best = xp.where(take_bin, bin_, best)
-        mode = xp.where(take_bin, xp.int32(C.MODE_BIN), mode)
-        take_static = static_ < best
-        best = xp.where(take_static, static_, best)
-        mode = xp.where(take_static, xp.int32(C.MODE_STATIC), mode)
-        k = xp.where(take_static, static_k, initial_k)
-        return mode, k, best
-
-    # ------------------------------------------------------ partition sweep
-    def _partition_geometry(self, n, p):
-        xp = self.xp
-        base = n >> p
-        nparts = 1 << p
-        idx = xp.arange(n, dtype=xp.int64)
-        seg_idx = xp.minimum(idx // base, xp.int64(nparts - 1))
-        seg_start = seg_idx * base
-        pos = idx - seg_start
-        seg_end = xp.where(seg_idx == nparts - 1, xp.int64(n), seg_start + base)
-        starts_1d = xp.minimum(xp.arange(nparts, dtype=xp.int64) * base, xp.int64(n))
-        ends_1d = xp.concatenate([starts_1d[1:], xp.asarray([n], dtype=xp.int64)])
-        return base, nparts, seg_idx, pos, seg_end, starts_1d, ends_1d
-
-    def _segsum(self, per_sample, starts_1d, ends_1d):
-        """Per-segment sums from an inclusive cumsum (B, n) -> (B, S)."""
-        xp = self.xp
-        cs = xp.cumsum(per_sample, axis=-1)
-        csz = xp.concatenate([xp.zeros(per_sample.shape[:-1] + (1,), dtype=per_sample.dtype), cs], axis=-1)
-        return csz[..., ends_1d] - csz[..., starts_1d]
-
-    def _partition_choices(self, v, u, p, n):
-        """Per-partition (mode, k, bits) for partition order p
-        (encoder.cpp:495-526)."""
-        xp = self.xp
-        base, nparts, seg_idx, pos, seg_end, starts_1d, ends_1d = self._partition_geometry(n, p)
-
-        # per-partition initial k: first min(256, len) samples
-        head_mask = (pos < C.INITIAL_SCAN_COUNT).astype(xp.uint64)
-        head_costs = xp.stack(
-            [self._segsum(((u >> xp.uint64(k)) + xp.uint64(1 + k)) * head_mask, starts_1d, ends_1d) for k in range(C.INITIAL_MAX_K + 1)],
-            axis=-1,
-        )
-        init_k_seg = xp.argmin(head_costs, axis=-1).astype(xp.int32)  # (B, S)
-
-        init_k_per_sample = init_k_seg[..., seg_idx] if init_k_seg.ndim == 2 else init_k_seg[seg_idx]
-        k_used = adapt.k_used_stateless_segmented(u, pos, init_k_per_sample, xp=xp)
-
-        z = v == 0
-        run_len, long_run, run_start = runs.zero_run_info(z, pos, seg_end, xp=xp)
-
-        rice_per = costs.rice_cost_per_sample(u, k_used, xp=xp)
-        rice_bits = self._segsum(rice_per, starts_1d, ends_1d)
-
-        absv = xp.abs(v.astype(xp.int64))
-        bin_per = xp.where(absv == 0, xp.uint64(2), xp.where(absv <= 2, xp.uint64(3), xp.uint64(2) + rice_per))
-        bin_bits = self._segsum(bin_per, starts_1d, ends_1d)
-
-        esc_shift = xp.minimum(k_used + C.ESCAPE_K_OFFSET, xp.int32(C.ESCAPE_K_CAP))
-        esc = xp.uint64(1) << esc_shift.astype(xp.uint64)
-        token_per = xp.uint64(2) + xp.where(u > esc, xp.uint64(32), rice_per)
-        run_per = xp.uint64(2) + ((run_len - C.ZERO_RUN_MIN_LENGTH).astype(xp.uint64) >> xp.uint64(C.ZERO_RUN_LENGTH_K)) + xp.uint64(1 + C.ZERO_RUN_LENGTH_K)
-        zr_per = xp.where(run_start, run_per, xp.where(long_run, xp.uint64(0), token_per))
-        zr_bits = self._segsum(zr_per, starts_1d, ends_1d)
-        has_run = self._segsum(run_start.astype(xp.uint64), starts_1d, ends_1d) > 0
-
-        static_costs = xp.stack(
-            [self._segsum((u >> xp.uint64(k)) + xp.uint64(1 + k), starts_1d, ends_1d) for k in range(C.MAX_STATIC_K + 1)],
-            axis=-1,
-        )
-        static_k = xp.argmin(static_costs, axis=-1).astype(xp.int32)
-        static_bits = xp.min(static_costs, axis=-1)
-
-        # per-partition mode choice (strict < for zr/bin; static wins
-        # within the 5% decode-speed margin)
-        allow_zr = xp.asarray(self.zero_run_enabled) & has_run
-        mode = xp.zeros(rice_bits.shape, dtype=xp.int32)
-        bits = rice_bits
-        kk = init_k_seg
-        take_zr = allow_zr & (zr_bits < bits)
-        bits = xp.where(take_zr, zr_bits, bits)
-        mode = xp.where(take_zr, xp.int32(C.MODE_ZERO_RUN), mode)
-        take_bin = bin_bits < bits
-        bits = xp.where(take_bin, bin_bits, bits)
-        mode = xp.where(take_bin, xp.int32(C.MODE_BIN), mode)
-        take_static = (static_bits < bits) | (static_bits <= bits + bits // xp.uint64(C.DECODE_SPEED_MARGIN_DIVISOR))
-        bits = xp.where(take_static, static_bits, bits)
-        mode = xp.where(take_static, xp.int32(C.MODE_STATIC), mode)
-        kk = xp.where(take_static, static_k, kk)
-        return mode, kk, bits
-
-    # ------------------------------------------------------------ public API
     def encode_group(self, pcm):
         """Encode a (B, n) int32 group; returns list of payload bytes."""
         xp = self.xp
-        pcm = xp.asarray(pcm, dtype=xp.int32)
-        B, n = pcm.shape
+        pcm_np = np.ascontiguousarray(pcm, dtype=np.int32)
+        B, n = pcm_np.shape
+        if is_jax(xp) and B > self.MAX_DEVICE_BATCH:
+            out = []
+            for lo in range(0, B, self.MAX_DEVICE_BATCH):
+                out.extend(self.encode_group(pcm_np[lo : lo + self.MAX_DEVICE_BATCH]))
+            return out
 
-        residuals, valid, lpc_coeffs, lpc_used, max_valid_order = self._candidates(pcm)
-        scores = self._score_whole_block(residuals)
-        sel_idx, _, zr_eff = self._select_candidate(scores, valid)
+        coeffs, used, lvalid, max_valid_order = self._lpc_analysis(pcm_np, n)
 
-        gather = lambda a: xp.take_along_axis(a, sel_idx[:, None], axis=1)[:, 0] if a.ndim == 2 else xp.take_along_axis(a, sel_idx[:, None, None], axis=1)[:, 0]
-        v_w = gather(residuals)
-        u_w = gather(scores["u"])
-        initial_k_w = gather(scores["initial_k"])
-        static_k_w = gather(scores["static_k"])
-        rice_w = gather(scores["rice"])
-        zr_w = gather(zr_eff)
-        bin_w = gather(scores["bin"])
-        static_w = gather(scores["static"])
-        has_run_w = gather(scores["has_run"])
+        if is_jax(xp):
+            Bp = 1 << max(0, (B - 1).bit_length())  # next power of two
+            pcm_pad = np.zeros((Bp, n), np.int32)
+            pcm_pad[:B] = pcm_np
+            coeffs_pad = np.zeros((coeffs.shape[0], Bp, 13), np.int16)
+            coeffs_pad[:, :B] = coeffs
+            lvalid_pad = np.zeros((lvalid.shape[0], Bp), bool)
+            lvalid_pad[:, :B] = lvalid
+            plan = _jitted_plan(n, self.zero_run_enabled, self.partitioning_enabled)(
+                xp.asarray(pcm_pad), xp.asarray(coeffs_pad), xp.asarray(lvalid_pad)
+            )
+            plan = {
+                k: (np.asarray(v)[:, :B] if k == "lpc_in_range" else np.asarray(v)[:B])
+                for k, v in plan.items()
+            }
+        else:
+            plan = plan_group(
+                pcm_np, coeffs, lvalid, n, self.zero_run_enabled, self.partitioning_enabled, np
+            )
+            plan = {k: np.asarray(v) for k, v in plan.items()}
 
-        base_mode, base_k, base_best = self._base_mode(
-            rice_w, zr_w, bin_w, static_w, has_run_w, initial_k_w, static_k_w
-        )
+        if not plan["lpc_in_range"].all():
+            # open-loop int32 overflow: impossible for validated PCM input;
+            # if it ever fires, the affected lanes take the host ladder path.
+            raise NotImplementedError(
+                "LPC residual overflow fallback ladder hit — input outside validated PCM domain"
+            )
 
-        # ---- partition sweep
-        best_p = xp.zeros(B, dtype=xp.int32)
-        legacy_total = _pad_to_byte(base_best + xp.uint64(8 + 7), xp=xp)
-        best_total = legacy_total
-        max_p = 0
-        if self.partitioning_enabled and n >= C.MIN_PARTITION_SIZE:
-            from .format.partitions import max_partition_order_for_block
-
-            max_p = max_partition_order_for_block(n)
-        all_modes, all_ks = {}, {}
-        for p in range(1, max_p + 1):
-            mode_p, k_p, bits_p = self._partition_choices(v_w, u_w, p, n)
-            all_modes[p], all_ks[p] = mode_p, k_p
-            nparts = 1 << p
-            total = _pad_to_byte(xp.sum(bits_p, axis=-1) + xp.uint64(8 + 7 * nparts), xp=xp)
-            margin = best_total // xp.uint64(C.DECODE_SPEED_MARGIN_DIVISOR)
-            accept = (total < best_total) | ((total <= best_total + margin) & (best_p == 0)) | ((total == best_total) & (p < best_p))
-            best_total = xp.where(accept, total, best_total)
-            best_p = xp.where(accept, xp.int32(p), best_p)
-
-        # ---- emission (host)
-        v_np = np.asarray(v_w)
-        u_np = np.asarray(u_w)
-        sel_np = np.asarray(sel_idx)
-        base_mode_np = np.asarray(base_mode)
-        base_k_np = np.asarray(base_k)
-        init_k_np = np.asarray(initial_k_w)
-        best_p_np = np.asarray(best_p)
-        modes_np = {p: np.asarray(m) for p, m in all_modes.items()}
-        ks_np = {p: np.asarray(k) for p, k in all_ks.items()}
-
+        sel = plan["sel_idx"]
+        best_p = plan["best_p"]
         out = []
         for row in range(B):
-            ci = int(sel_np[row])
+            ci = int(sel[row])
             ptype, oparam = _CANDIDATES[ci]
+            pre_vals = [ptype]
+            pre_lens = [8]
             if ptype == C.PREDICTOR_LPC:
-                li = ci - 6
-                used = int(lpc_used[li][row])
-                chosen_order = max(1, min(used, max_valid_order))
-                coeffs = lpc_coeffs[li][row]
+                li = ci - _LPC_BASE
+                chosen_order = max(1, min(int(used[li, row]), max_valid_order))
+                pre_vals.append(chosen_order)
+                pre_lens.append(8)
+                for i in range(1, chosen_order + 1):
+                    pre_vals.append(int(np.uint16(coeffs[li, row, i])))
+                    pre_lens.append(16)
             else:
-                chosen_order = oparam
-                coeffs = None
-            p = int(best_p_np[row])
-            if p == 0:
-                part_modes = [int(base_mode_np[row])]
-                part_ks = [int(base_k_np[row])]
-                part_sizes = [n]
-                init_k = int(init_k_np[row])
-            else:
-                nparts = 1 << p
-                part_modes = [int(m) for m in modes_np[p][row, :nparts]]
-                part_ks = [int(k) for k in ks_np[p][row, :nparts]]
-                base = n >> p
-                part_sizes = [base] * (nparts - 1) + [n - base * (nparts - 1)]
-                init_k = None
-            out.append(
-                _emit_channel_payload(
-                    v_np[row], u_np[row], ptype, chosen_order, coeffs,
-                    p, part_modes, part_ks, part_sizes, init_k,
-                )
-            )
+                pre_vals.append(oparam)
+                pre_lens.append(8)
+            p = int(best_p[row])
+            nparts = 1 << p
+            modes = plan["sel_modes"][row, :nparts]
+            ks = plan["sel_ks"][row, :nparts]
+            pre_vals.append(control_byte(int(modes[0]), p))
+            pre_lens.append(8)
+            for m, k in zip(modes, ks):
+                pre_vals.append((int(m) << 5) | int(k))
+                pre_lens.append(7)
+
+            npre = len(pre_vals)
+            total = npre + 2 * n
+            eu = np.zeros(total, dtype=np.int64)
+            ev = np.zeros(total, dtype=np.uint64)
+            el = np.zeros(total, dtype=np.int64)
+            ev[:npre] = np.asarray(pre_vals, dtype=np.uint64)
+            el[:npre] = np.asarray(pre_lens, dtype=np.int64)
+            ev[npre::2] = plan["head_val"][row]
+            el[npre::2] = plan["head_len"][row]
+            eu[npre + 1 :: 2] = plan["unary"][row]
+            ev[npre + 1 :: 2] = plan["tail_val"][row]
+            el[npre + 1 :: 2] = plan["tail_len"][row]
+            out.append(pack_stream(eu, ev, el))
         return out
-
-
-def _emit_channel_payload(v, u, ptype, order, coeffs, p, part_modes, part_ks, part_sizes, base_init_k):
-    """Build the channel-block byte payload (encoder.cpp:773-822)."""
-    n = len(v)
-    # ---- header elements
-    pre_vals = [ptype, order]
-    pre_lens = [8, 8]
-    if ptype == C.PREDICTOR_LPC:
-        for i in range(1, order + 1):
-            pre_vals.append(int(np.uint16(coeffs[i])))
-            pre_lens.append(16)
-    from .format.partitions import control_byte
-
-    pre_vals.append(control_byte(part_modes[0], p))
-    pre_lens.append(8)
-    for m, k in zip(part_modes, part_ks):
-        pre_vals.append((m << 5) | k)
-        pre_lens.append(7)
-
-    # ---- per-sample k sequence for the chosen plan
-    if p == 0:
-        k_after = adapt.k_after_stateful(u[None, :])[0]
-        k_used = np.asarray(adapt.k_used_from_after(k_after[None, :], base_init_k)[0])
-        pos = np.arange(n, dtype=np.int64)
-        seg_idx = np.zeros(n, dtype=np.int64)
-        seg_end = np.full(n, n, dtype=np.int64)
-    else:
-        base = n >> p
-        nparts = 1 << p
-        idx = np.arange(n, dtype=np.int64)
-        seg_idx = np.minimum(idx // base, nparts - 1)
-        pos = idx - seg_idx * base
-        seg_end = np.where(seg_idx == nparts - 1, n, (seg_idx + 1) * base)
-        init_per_sample = np.asarray(part_ks, dtype=np.int32)[seg_idx]
-        k_used = np.asarray(
-            adapt.k_used_stateless_segmented(u[None, :], pos[None, :], init_per_sample[None, :])[0]
-        )
-
-    mode_per_sample = np.asarray(part_modes, dtype=np.int32)[seg_idx]
-    k_field = np.asarray(part_ks, dtype=np.int32)[seg_idx]
-    # static partitions use the fixed k for every token
-    k_eff = np.where(mode_per_sample == C.MODE_STATIC, k_field, k_used).astype(np.uint64)
-
-    z = v == 0
-    run_len, long_run, run_start = runs.zero_run_info(z, pos, seg_end)
-
-    q = np.where(k_eff >= 32, np.uint64(0), u >> k_eff)
-    r_mask = np.where(k_eff >= 64, np.uint64(0), (np.uint64(1) << k_eff) - np.uint64(1))
-    rem = u & r_mask
-
-    head_val = np.zeros(n, dtype=np.uint64)
-    head_len = np.zeros(n, dtype=np.int64)
-    unary = np.zeros(n, dtype=np.int64)
-    tail_val = np.zeros(n, dtype=np.uint64)
-    tail_len = np.zeros(n, dtype=np.int64)
-
-    is_rice = (mode_per_sample == C.MODE_RICE) | (mode_per_sample == C.MODE_STATIC)
-    unary = np.where(is_rice, q.astype(np.int64), unary)
-    tail_val = np.where(is_rice, rem, tail_val)
-    tail_len = np.where(is_rice, (k_eff + np.uint64(1)).astype(np.int64), tail_len)
-
-    is_bin = mode_per_sample == C.MODE_BIN
-    absv = np.abs(v.astype(np.int64))
-    sign = (v < 0).astype(np.uint64)
-    b0 = absv == 0
-    b1 = absv == 1
-    b2 = absv == 2
-    bf = absv > 2
-    head_val = np.where(is_bin & b0, np.uint64(C.BIN_TAG_ZERO), head_val)
-    head_len = np.where(is_bin & b0, 2, head_len)
-    head_val = np.where(is_bin & b1, (np.uint64(C.BIN_TAG_ONE) << np.uint64(1)) | sign, head_val)
-    head_len = np.where(is_bin & b1, 3, head_len)
-    head_val = np.where(is_bin & b2, (np.uint64(C.BIN_TAG_TWO) << np.uint64(1)) | sign, head_val)
-    head_len = np.where(is_bin & b2, 3, head_len)
-    head_val = np.where(is_bin & bf, np.uint64(C.BIN_TAG_FALLBACK), head_val)
-    head_len = np.where(is_bin & bf, 2, head_len)
-    unary = np.where(is_bin & bf, q.astype(np.int64), unary)
-    tail_val = np.where(is_bin & bf, rem, tail_val)
-    tail_len = np.where(is_bin & bf, (k_eff + np.uint64(1)).astype(np.int64), tail_len)
-
-    is_zr = mode_per_sample == C.MODE_ZERO_RUN
-    esc_shift = np.minimum(k_eff + np.uint64(C.ESCAPE_K_OFFSET), np.uint64(C.ESCAPE_K_CAP))
-    escape = is_zr & ~long_run & (u > (np.uint64(1) << esc_shift))
-    normal = is_zr & ~long_run & ~escape
-    # run token at run starts
-    rl = (run_len - C.ZERO_RUN_MIN_LENGTH).astype(np.uint64)
-    zr_run = is_zr & run_start
-    head_val = np.where(zr_run, np.uint64(C.ZR_TAG_RUN), head_val)
-    head_len = np.where(zr_run, 2, head_len)
-    unary = np.where(zr_run, (rl >> np.uint64(C.ZERO_RUN_LENGTH_K)).astype(np.int64), unary)
-    tail_val = np.where(zr_run, rl & np.uint64(3), tail_val)
-    tail_len = np.where(zr_run, 1 + C.ZERO_RUN_LENGTH_K, tail_len)
-    # in-run non-start samples emit nothing
-    silent = is_zr & long_run & ~run_start
-    head_len = np.where(silent, 0, head_len)
-    unary = np.where(silent, 0, unary)
-    tail_len = np.where(silent, 0, tail_len)
-    head_val = np.where(silent, np.uint64(0), head_val)
-    # escape token
-    head_val = np.where(escape, np.uint64(C.ZR_TAG_ESCAPE), head_val)
-    head_len = np.where(escape, 2, head_len)
-    unary = np.where(escape, 0, unary)
-    tail_val = np.where(escape, u, tail_val)
-    tail_len = np.where(escape, 32, tail_len)
-    # normal token
-    head_val = np.where(normal, np.uint64(C.ZR_TAG_NORMAL), head_val)
-    head_len = np.where(normal, 2, head_len)
-    unary = np.where(normal, q.astype(np.int64), unary)
-    tail_val = np.where(normal, rem, tail_val)
-    tail_len = np.where(normal, (k_eff + np.uint64(1)).astype(np.int64), tail_len)
-
-    # interleave: prefix fields, then per-sample (head, unary+tail) pairs
-    npre = len(pre_vals)
-    total = npre + 2 * n
-    eu = np.zeros(total, dtype=np.int64)
-    ev = np.zeros(total, dtype=np.uint64)
-    el = np.zeros(total, dtype=np.int64)
-    ev[:npre] = np.asarray(pre_vals, dtype=np.uint64)
-    el[:npre] = np.asarray(pre_lens, dtype=np.int64)
-    ev[npre::2] = head_val
-    el[npre::2] = head_len
-    eu[npre + 1 :: 2] = unary
-    ev[npre + 1 :: 2] = tail_val
-    el[npre + 1 :: 2] = tail_len
-    return pack_stream(eu, ev, el)
 
 
 # ======================================================================= frame

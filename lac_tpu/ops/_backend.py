@@ -51,14 +51,44 @@ def shift_right(x, n, xp=np, fill=0, axis=-1):
 def bit_width(m, xp=np, max_bits=33):
     """``std::bit_width`` for unsigned values: position of highest set bit.
 
-    ``bit_width(0) == 0``. Computed as the count of powers of two <= m,
-    which vectorizes on the VPU without a clz primitive.
+    ``bit_width(0) == 0``. Computed from the float64 exponent field —
+    exact for m < 2^53 (uint64 -> f64 conversion is exact there, and the
+    biased exponent is floor(log2 m) + 1023). Every call site feeds
+    means/values < 2^47. Three VPU ops instead of a 33-compare unroll.
     """
     m = m.astype(xp.uint64)
-    out = xp.zeros(m.shape, dtype=xp.int32)
-    for j in range(max_bits):
-        out = out + (m >= xp.uint64(1 << j)).astype(xp.int32)
-    return out
+    if is_jax(xp):
+        import jax
+
+        # 32-bit clz halves: the TPU x64-rewrite pass lacks 64-bit
+        # bitcast/frexp, but Clz on u32 is a native XLA op.
+        hi = (m >> xp.uint64(32)).astype(xp.uint32)
+        lo = m.astype(xp.uint32)
+        bw_hi = xp.int32(64) - jax.lax.clz(hi).astype(xp.int32)
+        bw_lo = xp.int32(32) - jax.lax.clz(lo).astype(xp.int32)
+        return xp.where(hi != 0, bw_hi, xp.where(lo != 0, bw_lo, xp.int32(0)))
+    # frexp: f = mant * 2^e with mant in [0.5, 1) -> e == bit_width(m)
+    # exactly for exactly-converted integers (all call sites are < 2^53).
+    _, e = np.frexp(m.astype(np.float64))
+    return np.where(m == 0, 0, e).astype(np.int32)
+
+
+def exact_udiv(num, den, xp=np):
+    """Exact floor(num / den) for unsigned num < 2^53, den >= 1.
+
+    Emulated 64-bit integer division on TPU expands to a long loop; a
+    float64 division is one VPU op and lands within +-1 of the true
+    quotient for num < 2^53 (both operands convert exactly, quotient
+    relative error < 2^-52). One integer correction step makes it exact.
+    Every codec division qualifies: numerators are <= 2^46 (prefix sums
+    of 32-bit zigzag values over <= 16384 samples).
+    """
+    num64 = num.astype(xp.int64)
+    den64 = den.astype(xp.int64)
+    q0 = (num.astype(xp.float64) / den.astype(xp.float64)).astype(xp.int64)
+    r = num64 - q0 * den64
+    q = q0 + (r >= den64).astype(xp.int64) - (r < 0).astype(xp.int64)
+    return q.astype(xp.uint64)
 
 
 def segment_sum(values, seg_id, num_segments, xp=np, axis=-1):

@@ -23,7 +23,7 @@ for the first sample, then the adapted value).
 import numpy as np
 
 from ..format import constants as C
-from ._backend import bit_width, shift_right
+from ._backend import bit_width, exact_udiv, shift_right
 
 
 def k_after_stateless(seg_sum, pos_in_seg, xp=np):
@@ -33,7 +33,7 @@ def k_after_stateless(seg_sum, pos_in_seg, xp=np):
     ``pos_in_seg``: 0-based position within the segment (int64).
     """
     count = (pos_in_seg + 1).astype(xp.uint64)
-    mean = (seg_sum + (count >> xp.uint64(1))) // count
+    mean = exact_udiv(seg_sum + (count >> xp.uint64(1)), count, xp=xp)
     k = xp.minimum(xp.int32(C.MAX_RICE_K), bit_width(mean - xp.uint64(1), xp=xp))
     return xp.where(mean <= xp.uint64(1), xp.int32(0), k)
 
@@ -50,7 +50,7 @@ def k_after_stateful(u, xp=np):
     idx = xp.arange(L, dtype=xp.int64)
     count = (idx + 1).astype(xp.uint64)
 
-    mean = (s + (count >> one)) // count
+    mean = exact_udiv(s + (count >> one), count, xp=xp)
     k_base = xp.where(
         mean <= one,
         xp.int32(0),
@@ -63,7 +63,7 @@ def k_after_stateful(u, xp=np):
     local_mean = xp.where(
         filled == xp.uint64(C.DRIFT_WINDOW),
         (window_sum + xp.uint64(C.DRIFT_WINDOW >> 1)) >> xp.uint64(8),
-        (window_sum + (filled >> one)) // filled,
+        exact_udiv(window_sum + (filled >> one), filled, xp=xp),
     )
     three, four = xp.uint64(3), xp.uint64(4)
     bias = xp.where(
@@ -108,6 +108,25 @@ def k_used_from_after(k_after, initial_k, xp=np):
     return xp.where(first, init, shifted).astype(xp.int32)
 
 
+def k_used_stateless_from_cumsum(s_incl, pos_in_seg, initial_k_per_sample, xp=np):
+    """Per-sample encoding k for stateless (partitioned) adaptation, from
+    a precomputed inclusive global cumsum of u (reused across partition
+    orders during the sweep).
+    """
+    # segment-local prefix sums: subtract the global cumsum just before
+    # each segment start (gathered via i - pos_in_seg).
+    idx = xp.arange(s_incl.shape[-1], dtype=xp.int64)
+    seg_start = idx - pos_in_seg
+    s_shift = shift_right(s_incl, 1, xp=xp)  # exclusive global cumsum
+    base = xp.take_along_axis(
+        s_shift, xp.broadcast_to(seg_start, s_incl.shape).astype(xp.int64), axis=-1
+    ) if s_incl.ndim > 1 else s_shift[seg_start]
+    seg_sum = s_incl - base
+    k_after = k_after_stateless(seg_sum, pos_in_seg, xp=xp)
+    shifted = shift_right(k_after, 1, xp=xp)
+    return xp.where(pos_in_seg == 0, initial_k_per_sample, shifted).astype(xp.int32)
+
+
 def k_used_stateless_segmented(u, pos_in_seg, initial_k_per_sample, xp=np):
     """Per-sample encoding k for stateless (partitioned) adaptation.
 
@@ -116,15 +135,4 @@ def k_used_stateless_segmented(u, pos_in_seg, initial_k_per_sample, xp=np):
     initial k (the owning partition's initial_k, used at pos 0).
     """
     s = xp.cumsum(u.astype(xp.uint64), axis=-1)
-    # segment-local prefix sums: subtract the global cumsum just before
-    # each segment start (gathered via i - pos_in_seg).
-    idx = xp.arange(u.shape[-1], dtype=xp.int64)
-    seg_start = idx - pos_in_seg
-    s_shift = shift_right(s, 1, xp=xp)  # exclusive global cumsum
-    base = xp.take_along_axis(
-        s_shift, xp.broadcast_to(seg_start, s.shape).astype(xp.int64), axis=-1
-    ) if s.ndim > 1 else s_shift[seg_start]
-    seg_sum = s - base
-    k_after = k_after_stateless(seg_sum, pos_in_seg, xp=xp)
-    shifted = shift_right(k_after, 1, xp=xp)
-    return xp.where(pos_in_seg == 0, initial_k_per_sample, shifted).astype(xp.int32)
+    return k_used_stateless_from_cumsum(s, pos_in_seg, initial_k_per_sample, xp=xp)

@@ -17,33 +17,40 @@ from ..format import constants as C
 from ._backend import cummax, cummin_reverse
 
 
-def zero_run_info(z, pos_in_seg, seg_end_exclusive, xp=np):
-    """Compute run geometry.
+def zero_breaks(z, xp=np):
+    """Segment-independent break positions around zero runs.
 
-    ``z``: (..., L) bool — residual == 0 AND within valid length (callers
-    must clear ``z`` on padding).
-    ``pos_in_seg``: (..., L) int64 position inside the owning partition.
-    ``seg_end_exclusive``: (..., L) int64 index one past the partition end.
-
-    Returns (run_len, long_run, run_start).
+    Returns (last_nz, next_nz): for each position, the index of the
+    nearest non-zero sample at-or-before / at-or-after it (sentinels
+    -L-2 / L+2 outside). Partition clamps are applied separately, so one
+    pass serves every partition order.
     """
     L = z.shape[-1]
     idx = xp.arange(L, dtype=xp.int64)
-    neg = xp.int64(-L - 2)
+    last_nz = cummax(xp.where(~z, idx, xp.int64(-L - 2)), xp=xp)
+    next_nz = cummin_reverse(xp.where(~z, idx, xp.int64(L + 2)), xp=xp)
+    return last_nz, next_nz
 
-    # last break at-or-before i: a non-zero sample breaks at its own
-    # index; a zero at partition start has its break just before it.
-    a = xp.where(~z, idx, xp.where(pos_in_seg == 0, idx - 1, neg))
-    last_break = cummax(a, xp=xp)
-    run_first = last_break + 1
 
-    # next break at-or-after i: next non-zero sample, capped by the
-    # partition end.
-    big = xp.int64(L + 2)
-    b = xp.where(~z, idx, big)
-    next_break = xp.minimum(cummin_reverse(b, xp=xp), seg_end_exclusive)
+def run_geometry(z, last_nz, next_nz, pos_in_seg, seg_end_exclusive, xp=np):
+    """Per-partition run geometry from precomputed breaks.
 
+    Returns (run_len, long_run, run_start): length of the maximal zero
+    run containing each sample (clamped to its partition), membership in
+    a run token, and run-token start positions.
+    """
+    L = z.shape[-1]
+    idx = xp.arange(L, dtype=xp.int64)
+    seg_start = idx - pos_in_seg
+    run_first = xp.maximum(last_nz + 1, seg_start)
+    next_break = xp.minimum(next_nz, seg_end_exclusive)
     run_len = xp.where(z, next_break - run_first, xp.int64(0))
     long_run = z & (run_len >= C.ZERO_RUN_MIN_LENGTH)
     run_start = long_run & (idx == run_first)
     return run_len, long_run, run_start
+
+
+def zero_run_info(z, pos_in_seg, seg_end_exclusive, xp=np):
+    """Convenience wrapper: breaks + geometry in one call."""
+    last_nz, next_nz = zero_breaks(z, xp=xp)
+    return run_geometry(z, last_nz, next_nz, pos_in_seg, seg_end_exclusive, xp=xp)

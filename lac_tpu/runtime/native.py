@@ -1,0 +1,144 @@
+"""ctypes loader for the native runtime (lac_runtime.cpp).
+
+The shared library is built lazily with g++ on first use and cached in
+``runtime/build/`` keyed by a source hash; pure-Python fallbacks keep
+everything working when no compiler is available
+(``LAC_TPU_NO_NATIVE=1`` disables it explicitly).
+"""
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = pathlib.Path(__file__).resolve().parent
+_SRC = _HERE / "src" / "lac_runtime.cpp"
+_BUILD = _HERE / "build"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build_library():
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _BUILD / f"lac_runtime-{tag}.so"
+    if out.exists():
+        return out
+    _BUILD.mkdir(exist_ok=True)
+    tmp = out.with_suffix(".so.tmp")
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
+        "-pthread", str(_SRC), "-o", str(tmp),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, out)
+    return out
+
+
+def get_native():
+    """Return the loaded ctypes library or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("LAC_TPU_NO_NATIVE") == "1":
+            return None
+        try:
+            path = _build_library()
+            lib = ctypes.CDLL(str(path))
+        except Exception:
+            return None
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.lac_decode_v3_blocks.restype = ctypes.c_int
+        lib.lac_decode_v3_blocks.argtypes = [
+            u8p, u64p, u64p, u32p, u64p,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            i32p, i32p, ctypes.c_int32,
+        ]
+        lib.lac_pack_bits.restype = ctypes.c_uint64
+        lib.lac_pack_bits.argtypes = [u64p, u8p, ctypes.c_uint64]
+        lib.lac_pack_stream.restype = ctypes.c_uint64
+        lib.lac_pack_stream.argtypes = [u64p, u64p, u8p, ctypes.c_uint64, u8p, ctypes.c_uint64]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_native() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def pack_stream_native(unary, field_val, field_len):
+    """Native element-stream packer; returns bytes or None if unavailable."""
+    lib = get_native()
+    if lib is None:
+        return None
+    unary = np.ascontiguousarray(unary, dtype=np.uint64)
+    field_val = np.ascontiguousarray(field_val, dtype=np.uint64)
+    field_len = np.ascontiguousarray(field_len, dtype=np.uint8)
+    count = len(unary)
+    if count == 0:
+        return b""
+    total_bits = lib.lac_pack_bits(_ptr(unary, ctypes.c_uint64), _ptr(field_len, ctypes.c_uint8), count)
+    nbytes = (int(total_bits) + 7) // 8
+    out = np.zeros(nbytes, dtype=np.uint8)
+    wrote = lib.lac_pack_stream(
+        _ptr(unary, ctypes.c_uint64),
+        _ptr(field_val, ctypes.c_uint64),
+        _ptr(field_len, ctypes.c_uint8),
+        count,
+        _ptr(out, ctypes.c_uint8),
+        nbytes,
+    )
+    if int(wrote) != nbytes:
+        return None
+    return out.tobytes()
+
+
+def decode_v3_blocks_native(payload, payload_offsets, payload_sizes, block_sizes,
+                            sample_offsets, channels, stereo_mode, bit_depth,
+                            total_samples, num_threads=0):
+    """Native parallel v3 block decode.
+
+    Returns (left, right) int32 arrays, raises ValueError on a bad block,
+    or returns None when the native library is unavailable.
+    """
+    lib = get_native()
+    if lib is None:
+        return None
+    payload = np.frombuffer(payload, dtype=np.uint8)
+    po = np.ascontiguousarray(payload_offsets, dtype=np.uint64)
+    ps = np.ascontiguousarray(payload_sizes, dtype=np.uint64)
+    bs = np.ascontiguousarray(block_sizes, dtype=np.uint32)
+    so = np.ascontiguousarray(sample_offsets, dtype=np.uint64)
+    left = np.zeros(total_samples, dtype=np.int32)
+    right = np.zeros(total_samples if channels == 2 else 0, dtype=np.int32)
+    status = lib.lac_decode_v3_blocks(
+        _ptr(payload, ctypes.c_uint8),
+        _ptr(po, ctypes.c_uint64),
+        _ptr(ps, ctypes.c_uint64),
+        _ptr(bs, ctypes.c_uint32),
+        _ptr(so, ctypes.c_uint64),
+        len(bs), channels, stereo_mode, bit_depth,
+        _ptr(left, ctypes.c_int32),
+        _ptr(right, ctypes.c_int32) if channels == 2 else _ptr(left, ctypes.c_int32),
+        num_threads,
+    )
+    if status != 0:
+        raise ValueError(f"block={-status - 1}")
+    return left, right

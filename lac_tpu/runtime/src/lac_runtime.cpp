@@ -1,0 +1,587 @@
+// lac_tpu native runtime: parallel v3 block decode + token bit packing.
+//
+// Design notes (this is a fresh implementation, not a port):
+//  * flat C ABI (ctypes-friendly), no classes, no exceptions across the
+//    boundary; every function returns 0 on success / negative error code;
+//  * the bit reader keeps a 64-bit refill window so multi-bit reads and
+//    unary scans are branch-light (the reference reads byte-at-a-time);
+//  * blocks of a v3 stream are byte-bounded and independent
+//    (reference docs/format.md:18-35), so decode fans out across a
+//    std::thread pool with an atomic work index; first error wins.
+//
+// Wire behaviour matches reference src/codec/block/decoder.cpp and
+// src/codec/rice/rice.hpp (canonical validation rules cited inline).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ------------------------------------------------------------------ reader
+
+struct Reader {
+  const uint8_t* data;
+  uint64_t size_bits;
+  uint64_t pos;   // absolute bit position
+  bool err;
+};
+
+inline void reader_init(Reader& r, const uint8_t* data, uint64_t size_bytes) {
+  r.data = data;
+  r.size_bits = size_bytes * 8;
+  r.pos = 0;
+  r.err = false;
+}
+
+inline uint64_t bits_remaining(const Reader& r) {
+  return r.err ? 0 : r.size_bits - r.pos;
+}
+
+// read n bits MSB-first (n <= 57 so the 8-byte window always covers it)
+inline uint64_t read_bits(Reader& r, int n) {
+  if (n <= 0) return 0;
+  if (r.err || r.pos + static_cast<uint64_t>(n) > r.size_bits) {
+    r.err = true;
+    return 0;
+  }
+  const uint64_t byte = r.pos >> 3;
+  const int off = static_cast<int>(r.pos & 7);
+  // assemble up to 8 bytes big-endian starting at `byte` (tail-safe)
+  uint64_t window = 0;
+  const uint64_t avail = (r.size_bits >> 3) + ((r.size_bits & 7) ? 1 : 0) - byte;
+  const int take = avail >= 8 ? 8 : static_cast<int>(avail);
+  for (int i = 0; i < take; ++i) window |= static_cast<uint64_t>(r.data[byte + i]) << (56 - 8 * i);
+  const uint64_t out = (window << off) >> (64 - n);
+  r.pos += static_cast<uint64_t>(n);
+  return out;
+}
+
+// count leading 1 bits, consume the terminating 0; false on error or
+// count > max_ones (reference bit_reader.hpp:140-172)
+inline bool read_unary_ones(Reader& r, uint32_t max_ones, uint32_t& count) {
+  count = 0;
+  while (true) {
+    if (r.err || r.pos >= r.size_bits) {
+      r.err = true;
+      return false;
+    }
+    const uint64_t byte = r.pos >> 3;
+    const int off = static_cast<int>(r.pos & 7);
+    const uint8_t window = static_cast<uint8_t>(r.data[byte] << off);
+    const int avail = 8 - off;
+    // leading ones within this byte's remaining bits
+    int ones = 0;
+    uint8_t w = window;
+    while (ones < avail && (w & 0x80u)) {
+      ++ones;
+      w = static_cast<uint8_t>(w << 1);
+    }
+    if (ones >= avail) {
+      // all remaining bits of the byte are ones — continue scanning
+      count += static_cast<uint32_t>(avail);
+      r.pos += static_cast<uint64_t>(avail);
+      if (count > max_ones) {
+        r.err = true;
+        return false;
+      }
+      continue;
+    }
+    count += static_cast<uint32_t>(ones);
+    r.pos += static_cast<uint64_t>(ones) + 1;  // consume the zero too
+    if (count > max_ones) {
+      r.err = true;
+      return false;
+    }
+    if (r.pos > r.size_bits) {
+      r.err = true;
+      return false;
+    }
+    return true;
+  }
+}
+
+inline bool consume_zero_padding(Reader& r) {
+  while (r.pos & 7) {
+    if (read_bits(r, 1) != 0 || r.err) {
+      r.err = true;
+      return false;
+    }
+  }
+  return !r.err;
+}
+
+// ------------------------------------------------------------------ rice
+
+inline int32_t zigzag_decode(uint32_t u) {
+  return static_cast<int32_t>((u >> 1) ^ (~(u & 1u) + 1u));
+}
+
+inline bool read_rice_u(Reader& r, uint32_t k, uint32_t& value) {
+  if (k > 31u) return false;
+  uint32_t q = 0;
+  if (!read_unary_ones(r, 0xFFFFFFFFu >> k, q)) return false;
+  uint32_t rem = 0;
+  if (k > 0) {
+    rem = static_cast<uint32_t>(read_bits(r, static_cast<int>(k)));
+    if (r.err) return false;
+  }
+  value = (q << k) | rem;
+  return true;
+}
+
+// ------------------------------------------------------------- adaptation
+
+// stateful k adapter (reference rice.hpp:45-114 semantics)
+struct AdaptK {
+  uint64_t prev_sum = 0;
+  uint32_t widx = 0, midx = 0, filled = 0;
+  uint64_t wsum = 0;
+  int32_t large = 0, zero = 0;
+  uint32_t recent[256];
+  uint8_t lflags[96], zflags[96];
+  AdaptK() {
+    std::memset(recent, 0, sizeof recent);
+    std::memset(lflags, 0, sizeof lflags);
+    std::memset(zflags, 0, sizeof zflags);
+  }
+};
+
+inline uint32_t bitwidth64(uint64_t m) {
+  return m ? static_cast<uint32_t>(64 - __builtin_clzll(m)) : 0u;
+}
+
+inline uint32_t adapt_stateful(AdaptK& st, uint64_t sum, uint32_t count) {
+  if (count == 0) return 0;
+  const uint64_t cur = sum - st.prev_sum;
+  st.prev_sum = sum;
+  st.large -= st.lflags[st.midx];
+  st.zero -= st.zflags[st.midx];
+  if (st.filled < 256) {
+    ++st.filled;
+  } else {
+    st.wsum -= st.recent[st.widx];
+  }
+  st.recent[st.widx] = static_cast<uint32_t>(cur);
+  st.wsum += cur;
+  const uint64_t mean = (sum + (count >> 1)) / count;
+  const uint32_t k = (mean <= 1) ? 0u : (bitwidth64(mean - 1) > 31u ? 31u : bitwidth64(mean - 1));
+  const uint32_t qb = (k >= 31u) ? 0u : static_cast<uint32_t>(cur >> k);
+  const uint8_t il = qb > 3u, iz = qb == 0u;
+  st.large += il;
+  st.zero += iz;
+  st.lflags[st.midx] = il;
+  st.zflags[st.midx] = iz;
+  int32_t bias = 0;
+  if (st.filled > 0 && mean > 0) {
+    const uint64_t lm = (st.filled == 256) ? ((st.wsum + 128) >> 8)
+                                           : ((st.wsum + (st.filled >> 1)) / st.filled);
+    if (lm * 3 > mean * 4) bias = 1;
+    else if (lm * 4 + 3 < mean * 3) bias = -1;
+  }
+  if (st.widx + 1 >= 96 || st.filled >= 96) {
+    const uint32_t ws = st.filled >= 96 ? 96 : st.filled;
+    if (static_cast<uint32_t>(st.large) * 4 >= ws * 3) bias = bias + 1 > 1 ? 1 : bias + 1;
+    else if (static_cast<uint32_t>(st.zero) * 5 >= ws * 4) bias = bias - 1 < -1 ? -1 : bias - 1;
+  }
+  int32_t bk = static_cast<int32_t>(k) + bias;
+  if (bk < 0) bk = 0;
+  if (bk > 31) bk = 31;
+  st.midx = (st.midx + 1 == 96) ? 0 : st.midx + 1;
+  st.widx = (st.widx + 1) & 255;
+  return static_cast<uint32_t>(bk);
+}
+
+inline uint32_t adapt_stateless(uint64_t sum, uint32_t count) {
+  if (count == 0) return 0;
+  const uint64_t mean = (sum + (count >> 1)) / count;
+  if (mean <= 1) return 0;
+  const uint32_t bw = bitwidth64(mean - 1);
+  return bw > 31u ? 31u : bw;
+}
+
+// ------------------------------------------------------- residual decode
+
+constexpr uint32_t kZrMinRun = 4, kZrLenK = 2;
+
+bool decode_segment(Reader& r, uint32_t samples, uint32_t initial_k, uint32_t mode,
+                    int32_t* out, bool stateless, AdaptK* st) {
+  if (mode > 3) return false;
+  uint32_t k = initial_k;
+  uint64_t sum = 0;
+  uint32_t count = 0;
+  auto step = [&](uint32_t u) {
+    sum += u;
+    ++count;
+    k = stateless ? adapt_stateless(sum, count) : adapt_stateful(*st, sum, count);
+  };
+
+  if (mode == 0) {  // adaptive rice
+    for (uint32_t i = 0; i < samples; ++i) {
+      uint32_t u;
+      if (!read_rice_u(r, k, u)) return false;
+      out[i] = zigzag_decode(u);
+      step(u);
+    }
+    return true;
+  }
+  if (mode == 1) {  // zero-run
+    uint32_t idx = 0;
+    while (idx < samples) {
+      const uint32_t tag = static_cast<uint32_t>(read_bits(r, 2));
+      if (r.err || tag > 2u) return false;
+      if (tag == 0) {
+        uint32_t u;
+        if (!read_rice_u(r, k, u) || idx >= samples) break;
+        out[idx++] = zigzag_decode(u);
+        step(u);
+      } else if (tag == 1) {
+        uint32_t enc;
+        if (!read_rice_u(r, kZrLenK, enc) || enc > 0xFFFFFFFFu - kZrMinRun) return false;
+        const uint32_t run = enc + kZrMinRun;
+        if (run > samples - idx) return false;
+        std::memset(out + idx, 0, sizeof(int32_t) * run);
+        idx += run;
+        if (stateless) {
+          count += run;
+          k = adapt_stateless(sum, count);
+        } else {
+          for (uint32_t j = 0; j < run; ++j) {
+            ++count;
+            k = adapt_stateful(*st, sum, count);
+          }
+        }
+      } else {  // escape
+        if (idx >= samples) return false;
+        const uint32_t zz = static_cast<uint32_t>(read_bits(r, 32));
+        if (r.err) break;
+        out[idx++] = zigzag_decode(zz);
+        step(zz);
+      }
+    }
+    return idx == samples;
+  }
+  if (mode == 2) {  // bin
+    uint32_t idx = 0;
+    while (idx < samples) {
+      const uint32_t tag = static_cast<uint32_t>(read_bits(r, 2));
+      if (r.err) return false;
+      int32_t value;
+      uint32_t u;
+      if (tag == 0) {
+        value = 0;
+        u = 0;
+      } else if (tag == 1 || tag == 2) {
+        const uint32_t sign = static_cast<uint32_t>(read_bits(r, 1));
+        if (r.err) return false;
+        const int32_t mag = tag == 1 ? 1 : 2;
+        value = sign ? -mag : mag;
+        u = static_cast<uint32_t>(sign ? 2 * mag - 1 : 2 * mag);
+      } else {
+        if (!read_rice_u(r, k, u)) return false;
+        value = zigzag_decode(u);
+      }
+      out[idx++] = value;
+      step(u);
+    }
+    return idx == samples;
+  }
+  // static rice
+  for (uint32_t i = 0; i < samples; ++i) {
+    uint32_t u;
+    if (!read_rice_u(r, initial_k, u)) return false;
+    out[i] = zigzag_decode(u);
+  }
+  return true;
+}
+
+// ------------------------------------------------------- reconstruction
+
+constexpr int64_t kI32Min = INT32_MIN, kI32Max = INT32_MAX;
+
+bool restore_fixed(int32_t* x, uint32_t n, int order) {
+  switch (order) {
+    case 0:
+      return true;
+    case 1:
+      for (uint32_t i = 1; i < n; ++i) {
+        const int64_t s = static_cast<int64_t>(x[i]) + x[i - 1];
+        if (s < kI32Min || s > kI32Max) return false;
+        x[i] = static_cast<int32_t>(s);
+      }
+      return true;
+    case 2:
+      for (uint32_t i = 2; i < n; ++i) {
+        const int64_t s = static_cast<int64_t>(x[i]) + 2LL * x[i - 1] - x[i - 2];
+        if (s < kI32Min || s > kI32Max) return false;
+        x[i] = static_cast<int32_t>(s);
+      }
+      return true;
+    case 3:
+      for (uint32_t i = 3; i < n; ++i) {
+        const int64_t s = static_cast<int64_t>(x[i]) + 3LL * x[i - 1] - 3LL * x[i - 2] + x[i - 3];
+        if (s < kI32Min || s > kI32Max) return false;
+        x[i] = static_cast<int32_t>(s);
+      }
+      return true;
+    case 4:
+      for (uint32_t i = 4; i < n; ++i) {
+        const int64_t s = static_cast<int64_t>(x[i]) + 4LL * x[i - 1] - 6LL * x[i - 2] + 4LL * x[i - 3] - x[i - 4];
+        if (s < kI32Min || s > kI32Max) return false;
+        x[i] = static_cast<int32_t>(s);
+      }
+      return true;
+    default:
+      return false;
+  }
+}
+
+bool restore_fir(int32_t* x, uint32_t n) {
+  for (uint32_t i = 2; i < n; ++i) {
+    const int64_t pred = (3LL * x[i - 1] - x[i - 2]) >> 2;
+    const int64_t s = static_cast<int64_t>(x[i]) + pred;
+    if (s < kI32Min || s > kI32Max) return false;
+    x[i] = static_cast<int32_t>(s);
+  }
+  return true;
+}
+
+bool restore_lpc(int32_t* x, uint32_t n, const int16_t* coeffs, int order) {
+  const uint32_t warm = n < static_cast<uint32_t>(order) ? n : static_cast<uint32_t>(order);
+  for (uint32_t i = 0; i < warm; ++i) {
+    int64_t acc = 0;
+    for (uint32_t j = 1; j <= i; ++j) acc += static_cast<int64_t>(coeffs[j]) * x[i - j];
+    const int64_t s = (acc >> 15) + x[i];
+    if (s < kI32Min || s > kI32Max) return false;
+    x[i] = static_cast<int32_t>(s);
+  }
+  for (uint32_t i = warm; i < n; ++i) {
+    int64_t acc = 0;
+    for (int j = 1; j <= order; ++j) acc += static_cast<int64_t>(coeffs[j]) * x[i - j];
+    const int64_t s = (acc >> 15) + x[i];
+    if (s < kI32Min || s > kI32Max) return false;
+    x[i] = static_cast<int32_t>(s);
+  }
+  return true;
+}
+
+// --------------------------------------------------------- block decode
+
+constexpr uint32_t kMaxBlock = 16384, kMinPartSize = 32;
+constexpr uint8_t kMaxPartOrder = 8;
+
+inline uint32_t part_size_at(uint32_t size, uint8_t order, uint32_t i, uint32_t count) {
+  if (order == 0) return size;
+  const uint32_t base = size >> order;
+  return (i + 1 == count) ? size - base * (count - 1) : base;
+}
+
+// canonical-rule citations: reference block/decoder.cpp:407-519
+bool decode_channel_block(Reader& r, uint32_t block_size, int32_t* out) {
+  if (block_size == 0 || block_size > kMaxBlock) return false;
+  const uint32_t ptype = static_cast<uint32_t>(read_bits(r, 8));
+  const uint32_t order = static_cast<uint32_t>(read_bits(r, 8));
+  if (r.err || ptype > 2) return false;
+  if (ptype == 2) {
+    if (order == 0 || order > 32 || order >= block_size) return false;
+  } else if (ptype == 1) {
+    if (order != 2) return false;
+  } else if (order > 4) {
+    return false;
+  }
+  int16_t coeffs[33] = {0};
+  if (ptype == 2) {
+    for (uint32_t i = 1; i <= order; ++i) {
+      coeffs[i] = static_cast<int16_t>(read_bits(r, 16));
+      if (r.err) return false;
+    }
+  }
+  const uint32_t control = static_cast<uint32_t>(read_bits(r, 8));
+  if (r.err) return false;
+  if (control & 0x10u) return false;  // reserved bit
+  const bool pflag = (control & 0x80u) != 0;
+  const uint8_t porder = static_cast<uint8_t>(control & 0x0Fu);
+  const uint32_t cmode = (control >> 5) & 0x03u;
+  if (pflag != (porder != 0)) return false;
+  if (porder > kMaxPartOrder) return false;
+  if (porder > 0 && (block_size >> porder) < kMinPartSize) return false;
+  const uint32_t pcount = porder == 0 ? 1u : (1u << porder);
+  if (part_size_at(block_size, porder, pcount - 1, pcount) == 0) return false;
+
+  uint8_t pmodes[256];
+  uint8_t pks[256];
+  for (uint32_t i = 0; i < pcount; ++i) {
+    pmodes[i] = static_cast<uint8_t>(read_bits(r, 2));
+    pks[i] = static_cast<uint8_t>(read_bits(r, 5));
+    if (r.err || pmodes[i] > 3) return false;
+  }
+  if (pmodes[0] != cmode) return false;
+
+  const bool stateless = porder > 0;
+  uint32_t off = 0;
+  for (uint32_t i = 0; i < pcount; ++i) {
+    const uint32_t psz = part_size_at(block_size, porder, i, pcount);
+    AdaptK fresh;  // adaptation state never crosses a segment boundary
+    if (!decode_segment(r, psz, pks[i], pmodes[i], out + off, stateless, &fresh)) return false;
+    off += psz;
+  }
+  if (off != block_size) return false;
+  if (!consume_zero_padding(r)) return false;
+
+  if (ptype == 0) return restore_fixed(out, block_size, static_cast<int>(order));
+  if (ptype == 1) return restore_fir(out, block_size);
+  return restore_lpc(out, block_size, coeffs, static_cast<int>(order));
+}
+
+inline bool pcm_in_range(const int32_t* x, uint32_t n, uint32_t depth) {
+  const int32_t lo = depth == 16 ? -32768 : -0x800000;
+  const int32_t hi = depth == 16 ? 32767 : 0x7FFFFF;
+  for (uint32_t i = 0; i < n; ++i)
+    if (x[i] < lo || x[i] > hi) return false;
+  return true;
+}
+
+}  // namespace
+
+// ==================================================================== C API
+
+extern "C" {
+
+// decode a batch of byte-bounded v3 block payloads into channel planes.
+// returns 0 on success; -(block_index+1) identifies the first failing block.
+int lac_decode_v3_blocks(const uint8_t* payload,
+                         const uint64_t* payload_offsets,
+                         const uint64_t* payload_sizes,
+                         const uint32_t* block_sizes,
+                         const uint64_t* sample_offsets,
+                         uint32_t block_count,
+                         uint32_t channels,
+                         uint32_t stereo_mode,  // 0 LR, 1 MS, 2 per-block
+                         uint32_t bit_depth,
+                         int32_t* out_left,
+                         int32_t* out_right,
+                         int32_t num_threads) {
+  const bool is_stereo = channels == 2;
+  const bool per_block = is_stereo && stereo_mode == 2;
+  const bool force_ms = is_stereo && stereo_mode == 1;
+
+  std::atomic<uint32_t> next{0};
+  std::atomic<int> status{0};
+
+  auto worker = [&]() {
+    while (status.load(std::memory_order_relaxed) == 0) {
+      const uint32_t bi = next.fetch_add(1, std::memory_order_relaxed);
+      if (bi >= block_count) return;
+      Reader r;
+      reader_init(r, payload + payload_offsets[bi], payload_sizes[bi]);
+      bool mid_side = force_ms;
+      if (per_block) {
+        const uint32_t flag = static_cast<uint32_t>(read_bits(r, 8));
+        if (r.err || flag > 1) {
+          int expect = 0;
+          status.compare_exchange_strong(expect, -static_cast<int>(bi) - 1);
+          return;
+        }
+        mid_side = flag == 1;
+      }
+      const uint32_t n = block_sizes[bi];
+      int32_t* lp = out_left + sample_offsets[bi];
+      int32_t* rp = is_stereo ? out_right + sample_offsets[bi] : nullptr;
+      bool ok = decode_channel_block(r, n, lp);
+      if (ok && is_stereo) ok = decode_channel_block(r, n, rp);
+      if (ok && bits_remaining(r) != 0) ok = false;
+      if (ok) {
+        if (!is_stereo) {
+          ok = pcm_in_range(lp, n, bit_depth);
+        } else if (mid_side) {
+          for (uint32_t i = 0; ok && i < n; ++i) {
+            const int64_t m = lp[i], s = rp[i];
+            const int64_t l = m + ((s + (s & 1)) >> 1);
+            const int64_t rr = l - s;
+            const int64_t lo = bit_depth == 16 ? -32768 : -0x800000;
+            const int64_t hi = bit_depth == 16 ? 32767 : 0x7FFFFF;
+            if (l < lo || l > hi || rr < lo || rr > hi) {
+              ok = false;
+              break;
+            }
+            lp[i] = static_cast<int32_t>(l);
+            rp[i] = static_cast<int32_t>(rr);
+          }
+        } else {
+          ok = pcm_in_range(lp, n, bit_depth) && pcm_in_range(rp, n, bit_depth);
+        }
+      }
+      if (!ok) {
+        int expect = 0;
+        status.compare_exchange_strong(expect, -static_cast<int>(bi) - 1);
+        return;
+      }
+    }
+  };
+
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (num_threads > 0 && static_cast<unsigned>(num_threads) < hw) hw = static_cast<unsigned>(num_threads);
+  if (hw > block_count) hw = block_count;
+  if (hw <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(hw);
+    for (unsigned i = 0; i < hw; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return status.load();
+}
+
+// total bit length of an element stream (unary ones + field bits each)
+uint64_t lac_pack_bits(const uint64_t* unary, const uint8_t* field_len, uint64_t count) {
+  uint64_t total = 0;
+  for (uint64_t i = 0; i < count; ++i) total += unary[i] + field_len[i];
+  return total;
+}
+
+// pack elements MSB-first into out (caller sizes it via lac_pack_bits;
+// final partial byte zero-padded). returns bytes written.
+uint64_t lac_pack_stream(const uint64_t* unary,
+                         const uint64_t* field_val,
+                         const uint8_t* field_len,
+                         uint64_t count,
+                         uint8_t* out,
+                         uint64_t out_capacity) {
+  uint64_t acc = 0;  // bit accumulator, MSB-aligned in the low `nacc` bits
+  int nacc = 0;
+  uint64_t nout = 0;
+  auto flush = [&]() {
+    while (nacc >= 8) {
+      nacc -= 8;
+      out[nout++] = static_cast<uint8_t>((acc >> nacc) & 0xFFu);
+    }
+    acc &= (nacc == 0) ? 0 : ((1ULL << nacc) - 1);
+  };
+  for (uint64_t i = 0; i < count; ++i) {
+    uint64_t ones = unary[i];
+    while (ones > 0) {
+      const int chunk = ones > 32 ? 32 : static_cast<int>(ones);
+      acc = (acc << chunk) | ((1ULL << chunk) - 1);
+      nacc += chunk;
+      ones -= static_cast<uint64_t>(chunk);
+      flush();
+    }
+    const int fl = field_len[i];  // <= 57 by construction (tokens <= 33)
+    if (fl > 0) {
+      acc = (acc << fl) | (field_val[i] & ((1ULL << fl) - 1));
+      nacc += fl;
+      flush();
+    }
+  }
+  if (nout + ((static_cast<uint64_t>(nacc) + 7) / 8) > out_capacity) return 0;
+  if (nacc > 0) {
+    out[nout++] = static_cast<uint8_t>((acc << (8 - nacc)) & 0xFFu);
+  }
+  return nout;
+}
+
+}  // extern "C"

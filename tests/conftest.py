@@ -1,8 +1,14 @@
 import os
 
 # Tests run on CPU with a virtual 8-device mesh so multi-chip sharding
-# logic is exercised without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# logic is exercised without TPU hardware. Force it: the sandbox presets
+# JAX_PLATFORMS=axon (TPU) and the env var alone is not honoured by the
+# axon plugin, so also set the config flag before any device use.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
