@@ -1,0 +1,123 @@
+"""Benchmark: batched .lac encode throughput vs the reference encoder.
+
+Prints ONE JSON line:
+    {"metric": "encode_throughput", "value": <frames/s>, "unit": "frames/s",
+     "vs_baseline": <ours / reference-CPU>}
+
+The corpus is deterministic music-like stereo audio (sum of gliding
+sines + filtered noise, 44.1 kHz / 16-bit). The reference baseline is
+measured live when `.refbuild/lac_cli` exists, else read from
+`bench_baseline.json` (recorded on this host class).
+
+Correctness gate: the benchmark run also asserts our bitstream is
+byte-identical to the reference's (when the binary is present).
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent
+REF = ROOT / ".refbuild" / "lac_cli"
+BASELINE_FILE = ROOT / "bench_baseline.json"
+
+SECONDS = 30
+SR = 44100
+FRAMES = SR * SECONDS
+
+
+def make_corpus():
+    rng = np.random.RandomState(0xC0DEC)
+    t = np.arange(FRAMES, dtype=np.float64) / SR
+    sig = np.zeros(FRAMES)
+    for f0, f1, amp in ((220, 440, 0.3), (880, 860, 0.2), (3520, 3300, 0.08)):
+        freq = np.linspace(f0, f1, FRAMES)
+        sig += amp * np.sin(2 * np.pi * np.cumsum(freq) / SR)
+    noise = rng.standard_normal(FRAMES)
+    # crude lowpass: cumulative moving blend
+    for _ in range(2):
+        noise = 0.5 * noise + 0.5 * np.concatenate([[0.0], noise[:-1]])
+    sig += 0.05 * noise
+    env = 0.5 * (1 + np.sin(2 * np.pi * 0.37 * t))
+    left = np.clip(sig * env * 28000, -32768, 32767).astype(np.int32)
+    right = np.clip(np.roll(sig, 7) * env * 26500, -32768, 32767).astype(np.int32)
+    return left, right
+
+
+def bench_ours(left, right, repeats=3):
+    from lac_tpu.encoder import FrameEncoder
+
+    try:
+        import jax.numpy as jnp
+
+        xp = jnp
+    except Exception:
+        xp = np
+    enc = FrameEncoder(12, 2, SR, 16, xp=xp)
+    bitstream = enc.encode(left, right)  # warmup (compilation)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        bitstream = enc.encode(left, right)
+        best = min(best, time.perf_counter() - t0)
+    return bitstream, FRAMES / best
+
+
+def bench_reference(left, right):
+    if not REF.exists():
+        return None, None
+    from lac_tpu.io import write_wav
+
+    with tempfile.TemporaryDirectory() as td:
+        wav = f"{td}/bench.wav"
+        lac = f"{td}/bench.lac"
+        write_wav(wav, left, right, 2, SR, 16)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            subprocess.run([str(REF), "encode", wav, lac], check=True, capture_output=True)
+            best = min(best, time.perf_counter() - t0)
+        data = open(lac, "rb").read()
+    return data, FRAMES / best
+
+
+def main():
+    left, right = make_corpus()
+    bitstream, ours_fps = bench_ours(left, right)
+    ref_bytes, ref_fps = bench_reference(left, right)
+    if ref_fps is None:
+        try:
+            ref_fps = json.loads(BASELINE_FILE.read_text())["reference_frames_per_s"]
+        except Exception:
+            ref_fps = None
+    else:
+        if ref_bytes != bitstream:
+            print(
+                json.dumps(
+                    {"metric": "encode_throughput", "value": 0.0, "unit": "frames/s",
+                     "vs_baseline": 0.0, "error": "bitstream parity FAILED"}
+                )
+            )
+            return 1
+    vs = (ours_fps / ref_fps) if ref_fps else None
+    print(
+        json.dumps(
+            {
+                "metric": "encode_throughput",
+                "value": round(ours_fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 3) if vs else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,77 @@
+"""Multi-chip scale-out: shard the block axis over a 1-D device mesh.
+
+The codec's parallel unit is the 16384-sample channel block; blocks are
+fully independent (v3 byte-bounded payloads — reference
+docs/format.md:18-35), so the natural mapping is pure data parallelism
+over ICI with **no collectives in the hot path**: each chip plans its
+shard of blocks, and the host gathers per-block token fields for
+packing. The only cross-chip traffic is an optional ``psum`` of
+aggregate statistics (estimated payload bits), which rides ICI.
+
+This replaces the reference's worker thread pool
+(lac/encoder.cpp:385-435) — parallelism is an array axis, not a queue.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..encoder import plan_group
+
+BLOCK_AXIS = "blocks"
+
+
+def make_mesh(devices=None):
+    """1-D mesh over all (or the given) local devices."""
+    devices = jax.devices() if devices is None else devices
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (BLOCK_AXIS,))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_plan_fn(mesh, n, zero_run_enabled, partitioning_enabled):
+    from jax.experimental.shard_map import shard_map
+
+    def local(pcm, lpc_coeffs, lpc_valid):
+        plan = plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, jnp)
+        # aggregate stat across chips (exercises an ICI collective;
+        # correctness never depends on it)
+        local_bits = jnp.sum(plan["head_len"] + plan["unary"] + plan["tail_len"])
+        plan["total_token_bits"] = jax.lax.psum(local_bits, BLOCK_AXIS)
+        return plan
+
+    in_specs = (P(BLOCK_AXIS), P(None, BLOCK_AXIS), P(None, BLOCK_AXIS))
+    out_specs = {
+        "sel_idx": P(BLOCK_AXIS),
+        "best_p": P(BLOCK_AXIS),
+        "sel_modes": P(BLOCK_AXIS),
+        "sel_ks": P(BLOCK_AXIS),
+        "lpc_in_range": P(None, BLOCK_AXIS),
+        "head_val": P(BLOCK_AXIS),
+        "head_len": P(BLOCK_AXIS),
+        "unary": P(BLOCK_AXIS),
+        "tail_val": P(BLOCK_AXIS),
+        "tail_len": P(BLOCK_AXIS),
+        "total_token_bits": P(),
+    }
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+    return jax.jit(fn)
+
+
+def plan_group_sharded(mesh, pcm, lpc_coeffs, lpc_valid, n,
+                       zero_run_enabled=True, partitioning_enabled=True):
+    """Run the full encode plan with the batch axis sharded over ``mesh``.
+
+    ``pcm``: (B, n) with B divisible by the mesh size; LPC inputs as in
+    :func:`lac_tpu.encoder.plan_group`.
+    """
+    fn = _sharded_plan_fn(mesh, n, bool(zero_run_enabled), bool(partitioning_enabled))
+    with mesh:
+        sharding = NamedSharding(mesh, P(BLOCK_AXIS))
+        pcm = jax.device_put(jnp.asarray(pcm), sharding)
+        coeffs = jax.device_put(jnp.asarray(lpc_coeffs), NamedSharding(mesh, P(None, BLOCK_AXIS)))
+        valid = jax.device_put(jnp.asarray(lpc_valid), NamedSharding(mesh, P(None, BLOCK_AXIS)))
+        return fn(pcm, coeffs, valid)
