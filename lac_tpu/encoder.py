@@ -101,12 +101,13 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     valid = xp.concatenate([xp.ones((B, _LPC_BASE), dtype=bool), (lpc_valid & lpc_in_range).T], axis=1)
 
     # ---- whole-block stateful scoring per candidate
+    recip_table = adapt.recip_count_table(n)  # baked constant, no div ops
     u = zigzag_encode(residuals).astype(xp.uint64)
     scan = min(C.INITIAL_SCAN_COUNT, n)
     head_costs = _k_costs_stack(u[..., :scan], xp.uint64(1), C.INITIAL_MAX_K, xp)
     initial_k = xp.argmin(head_costs, axis=-1).astype(xp.int32)
 
-    k_after = adapt.k_after_stateful(u, xp=xp)
+    k_after = adapt.k_after_stateful(u, xp=xp, recip_table=recip_table)
     k_used = adapt.k_used_from_after(k_after, initial_k, xp=xp)
 
     z = residuals == 0
@@ -121,21 +122,16 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     static_k = xp.argmin(static_costs, axis=-1).astype(xp.int32)
     static_bits = xp.min(static_costs, axis=-1)
 
-    # ---- candidate selection (tie-break: lower predictor_type)
+    # ---- candidate selection (tie-break: lower predictor_type, then
+    # earliest in consideration order) as one lexicographic argmin:
+    # key = bits * 4 + predictor_type (bits <= 2^46 for valid PCM, so the
+    # key fits uint64 losslessly; invalid candidates get the max key)
     zr_eff = xp.where(has_run, zr_bits, rice_bits) if zero_run_enabled else rice_bits
     best_bits_all = xp.minimum(xp.minimum(rice_bits, static_bits), xp.minimum(zr_eff, bin_bits))
-    ptype_tab = [t for t, _ in _CANDIDATES]
+    ptype_tab = xp.asarray(np.asarray([t for t, _ in _CANDIDATES], dtype=np.uint64))
     UMAX = xp.uint64(0xFFFFFFFFFFFFFFFF)
-    sel_bits = xp.full((B,), UMAX, dtype=xp.uint64)
-    sel_type = xp.full((B,), xp.int32(127), dtype=xp.int32)
-    sel_idx = xp.zeros((B,), dtype=xp.int32)
-    for ci in range(_NCAND):
-        bits = best_bits_all[:, ci]
-        ok = valid[:, ci]
-        better = ok & ((bits < sel_bits) | ((bits == sel_bits) & (xp.int32(ptype_tab[ci]) < sel_type)))
-        sel_bits = xp.where(better, bits, sel_bits)
-        sel_type = xp.where(better, xp.int32(ptype_tab[ci]), sel_type)
-        sel_idx = xp.where(better, xp.int32(ci), sel_idx)
+    key = xp.where(valid, best_bits_all * xp.uint64(4) + ptype_tab[None, :], UMAX)
+    sel_idx = xp.argmin(key, axis=-1).astype(xp.int32)
 
     g2 = lambda a: xp.take_along_axis(a, sel_idx[:, None], axis=1)[:, 0]
     g3 = lambda a: xp.take_along_axis(a, sel_idx[:, None, None], axis=1)[:, 0]
@@ -174,17 +170,19 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     sel_ks = sel_ks.at[:, 0].set(base_k) if is_jax(xp) else _np_setcol(sel_ks, 0, base_k)
 
     # p-independent precomputations, reused by every sweep iteration:
-    # inclusive cumsum of u (stateless k), zero-run breaks, and per-k
-    # rice-cost cumsums (k-cost segment sums become boundary gathers).
+    # inclusive cumsum of u (stateless k), zero-run breaks, and one
+    # (B, n+1, 16) cumsum of per-k rice costs — every per-partition
+    # k-cost sum then becomes a pair of boundary gathers.
     if max_p > 0:
         cs_u = xp.cumsum(u_w, axis=-1)
         zw0 = v_w == 0
         last_nz, next_nz = runs.zero_breaks(zw0, xp=xp)
-        zero1 = xp.zeros((B, 1), dtype=xp.uint64)
-        csk = [
-            xp.concatenate([zero1, xp.cumsum((u_w >> xp.uint64(k)) + xp.uint64(1 + k), axis=-1)], axis=-1)
-            for k in range(C.MAX_STATIC_K + 1)
-        ]
+        karr = xp.asarray(np.arange(C.MAX_STATIC_K + 1, dtype=np.uint64))
+        cost_nk = (u_w[..., None] >> karr) + (karr + xp.uint64(1))  # (B, n, 16)
+        csk = xp.concatenate(
+            [xp.zeros((B, 1, C.MAX_STATIC_K + 1), dtype=xp.uint64), xp.cumsum(cost_nk, axis=-2)],
+            axis=-2,
+        )  # (B, n+1, 16)
 
     for p in range(1, max_p + 1):
         base = n >> p
@@ -196,28 +194,25 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
         ends_1d = np.concatenate([starts_1d[1:], [n]])
         head_ends_1d = np.minimum(starts_1d + C.INITIAL_SCAN_COUNT, ends_1d)
 
-        def segsum(per):
-            cs = xp.cumsum(per, axis=-1)
-            csz = xp.concatenate([xp.zeros(per.shape[:-1] + (1,), dtype=per.dtype), cs], axis=-1)
-            return csz[..., ends_1d] - csz[..., starts_1d]
-
-        hc = xp.stack(
-            [csk[k][..., head_ends_1d] - csk[k][..., starts_1d] for k in range(C.INITIAL_MAX_K + 1)],
-            axis=-1,
-        )
+        hc = csk[:, head_ends_1d, : C.INITIAL_MAX_K + 1] - csk[:, starts_1d, : C.INITIAL_MAX_K + 1]
         init_k_seg = xp.argmin(hc, axis=-1).astype(xp.int32)  # (B, nparts)
         init_per_sample = xp.take_along_axis(init_k_seg, xp.broadcast_to(seg_idx, (B, n)), axis=-1)
-        k_used_p = adapt.k_used_stateless_from_cumsum(cs_u, pos, init_per_sample, xp=xp)
+        k_used_p = adapt.k_used_stateless_from_cumsum(
+            cs_u, pos, init_per_sample, xp=xp, recip_table=recip_table
+        )
 
         rl_p, long_p, start_p = runs.run_geometry(zw0, last_nz, next_nz, pos, seg_end, xp=xp)
         rice_pp, bin_pp, zr_pp = _mode_cost_fields(v_w, u_w, k_used_p, rl_p, long_p, start_p, xp)
-        rice_s, bin_s, zr_s = segsum(rice_pp), segsum(bin_pp), segsum(zr_pp)
-        has_run_s = segsum(start_p.astype(xp.uint64)) > 0
-
-        sc = xp.stack(
-            [csk[k][..., ends_1d] - csk[k][..., starts_1d] for k in range(C.MAX_STATIC_K + 1)],
-            axis=-1,
+        # one stacked cumsum for the three mode costs + run counter
+        stacked = xp.stack([rice_pp, bin_pp, zr_pp, start_p.astype(xp.uint64)], axis=-1)
+        cs4 = xp.concatenate(
+            [xp.zeros((B, 1, 4), dtype=xp.uint64), xp.cumsum(stacked, axis=-2)], axis=-2
         )
+        seg4 = cs4[:, ends_1d, :] - cs4[:, starts_1d, :]
+        rice_s, bin_s, zr_s, run_cnt = (seg4[..., 0], seg4[..., 1], seg4[..., 2], seg4[..., 3])
+        has_run_s = run_cnt > 0
+
+        sc = csk[:, ends_1d, :] - csk[:, starts_1d, :]
         static_k_s = xp.argmin(sc, axis=-1).astype(xp.int32)
         static_s = xp.min(sc, axis=-1)
 
@@ -260,7 +255,9 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     # adaptive k: stateful for p=0 (seeded with the *adaptive* initial k,
     # even when the metadata k is static), stateless per partition else
     k_used_stateful = adapt.k_used_from_after(k_after_w, initial_k_w, xp=xp)
-    k_used_stateless = adapt.k_used_stateless_segmented(u_w, pos, kfield_smp, xp=xp)
+    k_used_stateless = adapt.k_used_stateless_from_cumsum(
+        xp.cumsum(u_w, axis=-1), pos, kfield_smp, xp=xp, recip_table=recip_table
+    )
     k_adaptive = xp.where((best_p == 0)[:, None], k_used_stateful, k_used_stateless)
     k_eff = xp.where(mode_smp == C.MODE_STATIC, kfield_smp, k_adaptive).astype(xp.int32)
 
@@ -328,17 +325,19 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     tail_val = xp.where(normal, rem, tail_val)
     tail_len = xp.where(normal, (ku + xp.uint64(1)).astype(xp.int64), tail_len)
 
+    # narrow dtypes for the device->host hop: heads fit u8, unary/tail
+    # values fit u32, lengths fit u8 (tokens are <= 33 bits)
     return {
         "sel_idx": sel_idx,
         "best_p": best_p,
-        "sel_modes": sel_modes,
-        "sel_ks": sel_ks,
+        "sel_modes": sel_modes.astype(xp.int8),
+        "sel_ks": sel_ks.astype(xp.int8),
         "lpc_in_range": lpc_in_range,
-        "head_val": head_val,
-        "head_len": head_len,
-        "unary": unary,
-        "tail_val": tail_val,
-        "tail_len": tail_len,
+        "head_val": head_val.astype(xp.uint8),
+        "head_len": head_len.astype(xp.uint8),
+        "unary": unary.astype(xp.uint32),
+        "tail_val": tail_val.astype(xp.uint32),
+        "tail_len": tail_len.astype(xp.uint8),
     }
 
 
@@ -448,9 +447,31 @@ class ChannelBlockEncoder:
                 "LPC residual overflow fallback ladder hit — input outside validated PCM domain"
             )
 
+        return self._emit(plan, coeffs, used, max_valid_order, B, n)
+
+    def _emit(self, plan, coeffs, used, max_valid_order, B, n):
+        """Assemble per-lane element streams and pack them to bytes.
+
+        The token body is interleaved vectorized across lanes; per-lane
+        wire prefixes (predictor header, coeffs, control, partition
+        metadata) are tiny python lists. Packing fans out across lanes
+        in the native runtime (pure-numpy fallback below).
+        """
         sel = plan["sel_idx"]
         best_p = plan["best_p"]
-        out = []
+
+        # vectorized interleave of (head, unary+tail) element pairs
+        body_u = np.zeros((B, 2 * n), dtype=np.uint32)
+        body_v = np.zeros((B, 2 * n), dtype=np.uint32)
+        body_l = np.zeros((B, 2 * n), dtype=np.uint8)
+        body_v[:, 0::2] = plan["head_val"]
+        body_l[:, 0::2] = plan["head_len"]
+        body_u[:, 1::2] = plan["unary"]
+        body_v[:, 1::2] = plan["tail_val"]
+        body_l[:, 1::2] = plan["tail_len"]
+
+        pieces_u, pieces_v, pieces_l = [], [], []
+        counts = []
         for row in range(B):
             ci = int(sel[row])
             ptype, oparam = _CANDIDATES[ci]
@@ -473,24 +494,37 @@ class ChannelBlockEncoder:
             ks = plan["sel_ks"][row, :nparts]
             pre_vals.append(control_byte(int(modes[0]), p))
             pre_lens.append(8)
-            for m, k in zip(modes, ks):
-                pre_vals.append((int(m) << 5) | int(k))
-                pre_lens.append(7)
+            pre_vals.extend(((int(m) << 5) | int(k)) for m, k in zip(modes, ks))
+            pre_lens.extend([7] * nparts)
 
             npre = len(pre_vals)
-            total = npre + 2 * n
-            eu = np.zeros(total, dtype=np.int64)
-            ev = np.zeros(total, dtype=np.uint64)
-            el = np.zeros(total, dtype=np.int64)
-            ev[:npre] = np.asarray(pre_vals, dtype=np.uint64)
-            el[:npre] = np.asarray(pre_lens, dtype=np.int64)
-            ev[npre::2] = plan["head_val"][row]
-            el[npre::2] = plan["head_len"][row]
-            eu[npre + 1 :: 2] = plan["unary"][row]
-            ev[npre + 1 :: 2] = plan["tail_val"][row]
-            el[npre + 1 :: 2] = plan["tail_len"][row]
-            out.append(pack_stream(eu, ev, el))
-        return out
+            pieces_u.append(np.zeros(npre, dtype=np.uint32))
+            pieces_v.append(np.asarray(pre_vals, dtype=np.uint32))
+            pieces_l.append(np.asarray(pre_lens, dtype=np.uint8))
+            pieces_u.append(body_u[row])
+            pieces_v.append(body_v[row])
+            pieces_l.append(body_l[row])
+            counts.append(npre + 2 * n)
+
+        eu = np.concatenate(pieces_u)
+        ev = np.concatenate(pieces_v)
+        el = np.concatenate(pieces_l)
+        offsets = np.zeros(B + 1, dtype=np.uint64)
+        np.cumsum(counts, out=offsets[1:])
+
+        from .runtime.native import pack_streams_native
+
+        packed = pack_streams_native(eu, ev, el, offsets)
+        if packed is not None:
+            return packed
+        return [
+            pack_stream(
+                eu[int(offsets[i]) : int(offsets[i + 1])],
+                ev[int(offsets[i]) : int(offsets[i + 1])],
+                el[int(offsets[i]) : int(offsets[i + 1])],
+            )
+            for i in range(B)
+        ]
 
 
 # ======================================================================= frame

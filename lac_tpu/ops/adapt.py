@@ -26,19 +26,27 @@ from ..format import constants as C
 from ._backend import bit_width, exact_udiv, shift_right
 
 
-def k_after_stateless(seg_sum, pos_in_seg, xp=np):
+def recip_count_table(L):
+    """Baked float64 table recip[i] = 1/(i+1) — lets every adaptation
+    division compile as a multiply (see _backend.exact_udiv)."""
+    return 1.0 / np.arange(1, L + 1, dtype=np.float64)
+
+
+def k_after_stateless(seg_sum, pos_in_seg, xp=np, recip_table=None):
     """Stateless adapted k after each sample (block/encoder.cpp:72-77).
 
     ``seg_sum``: segment-local inclusive prefix sum of u (uint64).
     ``pos_in_seg``: 0-based position within the segment (int64).
+    ``recip_table``: optional (L,) float64 1/(i+1) table.
     """
     count = (pos_in_seg + 1).astype(xp.uint64)
-    mean = exact_udiv(seg_sum + (count >> xp.uint64(1)), count, xp=xp)
+    recip = None if recip_table is None else xp.asarray(recip_table)[pos_in_seg]
+    mean = exact_udiv(seg_sum + (count >> xp.uint64(1)), count, xp=xp, recip=recip)
     k = xp.minimum(xp.int32(C.MAX_RICE_K), bit_width(mean - xp.uint64(1), xp=xp))
     return xp.where(mean <= xp.uint64(1), xp.int32(0), k)
 
 
-def k_after_stateful(u, xp=np):
+def k_after_stateful(u, xp=np, recip_table=None):
     """Stateful adapted k after each sample of a whole block (rice.hpp:45-114).
 
     ``u``: (..., L) uint64 unsigned residuals. Returns int32 (..., L).
@@ -49,8 +57,14 @@ def k_after_stateful(u, xp=np):
     s = xp.cumsum(u, axis=-1)
     idx = xp.arange(L, dtype=xp.int64)
     count = (idx + 1).astype(xp.uint64)
+    if recip_table is None:
+        recip_count = recip_filled = None
+    else:
+        recip_count = xp.asarray(recip_table)
+        lim = np.float64(1.0 / C.DRIFT_WINDOW)
+        recip_filled = xp.where(idx < C.DRIFT_WINDOW, recip_count, lim)
 
-    mean = exact_udiv(s + (count >> one), count, xp=xp)
+    mean = exact_udiv(s + (count >> one), count, xp=xp, recip=recip_count)
     k_base = xp.where(
         mean <= one,
         xp.int32(0),
@@ -63,7 +77,7 @@ def k_after_stateful(u, xp=np):
     local_mean = xp.where(
         filled == xp.uint64(C.DRIFT_WINDOW),
         (window_sum + xp.uint64(C.DRIFT_WINDOW >> 1)) >> xp.uint64(8),
-        exact_udiv(window_sum + (filled >> one), filled, xp=xp),
+        exact_udiv(window_sum + (filled >> one), filled, xp=xp, recip=recip_filled),
     )
     three, four = xp.uint64(3), xp.uint64(4)
     bias = xp.where(
@@ -108,7 +122,7 @@ def k_used_from_after(k_after, initial_k, xp=np):
     return xp.where(first, init, shifted).astype(xp.int32)
 
 
-def k_used_stateless_from_cumsum(s_incl, pos_in_seg, initial_k_per_sample, xp=np):
+def k_used_stateless_from_cumsum(s_incl, pos_in_seg, initial_k_per_sample, xp=np, recip_table=None):
     """Per-sample encoding k for stateless (partitioned) adaptation, from
     a precomputed inclusive global cumsum of u (reused across partition
     orders during the sweep).
@@ -122,7 +136,7 @@ def k_used_stateless_from_cumsum(s_incl, pos_in_seg, initial_k_per_sample, xp=np
         s_shift, xp.broadcast_to(seg_start, s_incl.shape).astype(xp.int64), axis=-1
     ) if s_incl.ndim > 1 else s_shift[seg_start]
     seg_sum = s_incl - base
-    k_after = k_after_stateless(seg_sum, pos_in_seg, xp=xp)
+    k_after = k_after_stateless(seg_sum, pos_in_seg, xp=xp, recip_table=recip_table)
     shifted = shift_right(k_after, 1, xp=xp)
     return xp.where(pos_in_seg == 0, initial_k_per_sample, shifted).astype(xp.int32)
 

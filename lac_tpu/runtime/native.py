@@ -71,6 +71,10 @@ def get_native():
         lib.lac_pack_bits.argtypes = [u64p, u8p, ctypes.c_uint64]
         lib.lac_pack_stream.restype = ctypes.c_uint64
         lib.lac_pack_stream.argtypes = [u64p, u64p, u8p, ctypes.c_uint64, u8p, ctypes.c_uint64]
+        lib.lac_pack_streams_sizes.restype = None
+        lib.lac_pack_streams_sizes.argtypes = [u32p, u8p, u64p, ctypes.c_uint32, u64p]
+        lib.lac_pack_streams.restype = None
+        lib.lac_pack_streams.argtypes = [u32p, u32p, u8p, u64p, ctypes.c_uint32, u8p, u64p, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -108,6 +112,37 @@ def pack_stream_native(unary, field_val, field_len):
     if int(wrote) != nbytes:
         return None
     return out.tobytes()
+
+
+def pack_streams_native(unary, field_val, field_len, elem_offsets, num_threads=0):
+    """Pack a batch of element streams; returns list of bytes or None.
+
+    ``unary``/``field_val``: uint32, ``field_len``: uint8, concatenated
+    across streams; ``elem_offsets``: (S+1,) uint64 element boundaries.
+    """
+    lib = get_native()
+    if lib is None:
+        return None
+    unary = np.ascontiguousarray(unary, dtype=np.uint32)
+    field_val = np.ascontiguousarray(field_val, dtype=np.uint32)
+    field_len = np.ascontiguousarray(field_len, dtype=np.uint8)
+    elem_offsets = np.ascontiguousarray(elem_offsets, dtype=np.uint64)
+    S = len(elem_offsets) - 1
+    sizes = np.zeros(S, dtype=np.uint64)
+    lib.lac_pack_streams_sizes(
+        _ptr(unary, ctypes.c_uint32), _ptr(field_len, ctypes.c_uint8),
+        _ptr(elem_offsets, ctypes.c_uint64), S, _ptr(sizes, ctypes.c_uint64),
+    )
+    out_offsets = np.zeros(S + 1, dtype=np.uint64)
+    np.cumsum(sizes, out=out_offsets[1:])
+    out = np.zeros(int(out_offsets[-1]), dtype=np.uint8)
+    lib.lac_pack_streams(
+        _ptr(unary, ctypes.c_uint32), _ptr(field_val, ctypes.c_uint32),
+        _ptr(field_len, ctypes.c_uint8), _ptr(elem_offsets, ctypes.c_uint64),
+        S, _ptr(out, ctypes.c_uint8), _ptr(out_offsets, ctypes.c_uint64), num_threads,
+    )
+    raw = out.tobytes()
+    return [raw[int(out_offsets[i]) : int(out_offsets[i + 1])] for i in range(S)]
 
 
 def decode_v3_blocks_native(payload, payload_offsets, payload_sizes, block_sizes,

@@ -584,4 +584,94 @@ uint64_t lac_pack_stream(const uint64_t* unary,
   return nout;
 }
 
+// ------------------------------------------------------ multi-stream pack
+
+namespace {
+
+inline uint64_t stream_bits_u32(const uint32_t* unary, const uint8_t* field_len, uint64_t count) {
+  uint64_t total = 0;
+  for (uint64_t i = 0; i < count; ++i) total += static_cast<uint64_t>(unary[i]) + field_len[i];
+  return total;
+}
+
+inline void pack_one_u32(const uint32_t* unary, const uint32_t* field_val,
+                         const uint8_t* field_len, uint64_t count, uint8_t* out) {
+  uint64_t acc = 0;
+  int nacc = 0;
+  uint64_t nout = 0;
+  auto flush = [&]() {
+    while (nacc >= 8) {
+      nacc -= 8;
+      out[nout++] = static_cast<uint8_t>((acc >> nacc) & 0xFFu);
+    }
+    acc &= (nacc == 0) ? 0 : ((1ULL << nacc) - 1);
+  };
+  for (uint64_t i = 0; i < count; ++i) {
+    uint64_t ones = unary[i];
+    while (ones > 0) {
+      const int chunk = ones > 32 ? 32 : static_cast<int>(ones);
+      acc = (acc << chunk) | ((1ULL << chunk) - 1);
+      nacc += chunk;
+      ones -= static_cast<uint64_t>(chunk);
+      flush();
+    }
+    const int fl = field_len[i];
+    if (fl > 0) {
+      acc = (acc << fl) | (field_val[i] & ((fl >= 32) ? 0xFFFFFFFFULL : ((1ULL << fl) - 1)));
+      nacc += fl;
+      flush();
+    }
+  }
+  if (nacc > 0) out[nout++] = static_cast<uint8_t>((acc << (8 - nacc)) & 0xFFu);
+}
+
+}  // namespace
+
+// per-stream packed byte sizes for a batch of element streams
+void lac_pack_streams_sizes(const uint32_t* unary,
+                            const uint8_t* field_len,
+                            const uint64_t* elem_offsets,  // (S+1)
+                            uint32_t stream_count,
+                            uint64_t* out_sizes) {
+  for (uint32_t s = 0; s < stream_count; ++s) {
+    const uint64_t lo = elem_offsets[s], hi = elem_offsets[s + 1];
+    const uint64_t bits = stream_bits_u32(unary + lo, field_len + lo, hi - lo);
+    out_sizes[s] = (bits + 7) / 8;
+  }
+}
+
+// pack a batch of element streams in parallel (one thread per stream
+// slice); out_offsets are byte offsets per stream into `out`.
+void lac_pack_streams(const uint32_t* unary,
+                      const uint32_t* field_val,
+                      const uint8_t* field_len,
+                      const uint64_t* elem_offsets,
+                      uint32_t stream_count,
+                      uint8_t* out,
+                      const uint64_t* out_offsets,
+                      int32_t num_threads) {
+  std::atomic<uint32_t> next{0};
+  auto worker = [&]() {
+    while (true) {
+      const uint32_t s = next.fetch_add(1, std::memory_order_relaxed);
+      if (s >= stream_count) return;
+      const uint64_t lo = elem_offsets[s];
+      pack_one_u32(unary + lo, field_val + lo, field_len + lo,
+                   elem_offsets[s + 1] - lo, out + out_offsets[s]);
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (num_threads > 0 && static_cast<unsigned>(num_threads) < hw) hw = static_cast<unsigned>(num_threads);
+  if (hw > stream_count) hw = stream_count;
+  if (hw <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(hw);
+  for (unsigned i = 0; i < hw; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
+
 }  // extern "C"
