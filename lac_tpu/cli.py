@@ -65,11 +65,14 @@ def _cmd_encode(argv) -> int:
     partitioning = True
     thread_count = 0
     debug_threads = False
+    debug_zr = False
     for flag in argv[2:]:
         if flag in ("--debug-threads",):
             debug_threads = True
-        elif flag in ("--debug-stereo-est", "--debug-lpc", "--debug-zr", "--debug-partitions"):
-            pass  # accepted; debug tracing is env-gated (utils/debug)
+        elif flag == "--debug-zr":
+            debug_zr = True
+        elif flag in ("--debug-stereo-est", "--debug-lpc", "--debug-partitions"):
+            pass  # accepted; per-block tracing is debug-build-only upstream
         elif flag == "--no-partitioning":
             partitioning = False
         elif flag == "--stereo-mode=lr":
@@ -94,6 +97,16 @@ def _cmd_encode(argv) -> int:
     encoder.set_partitioning_enabled(partitioning)
     encoder.set_thread_count(thread_count)
     bitstream = encoder.encode(left, right)
+    if debug_zr:
+        baseline = FrameEncoder(12, effective_mode, sample_rate, bit_depth)
+        baseline.set_zero_run_enabled(False)
+        baseline.set_partitioning_enabled(partitioning)
+        baseline.set_thread_count(thread_count)
+        baseline_bs = baseline.encode(left, right)
+        gain = (1.0 - len(bitstream) / len(baseline_bs)) * 100.0 if baseline_bs else 0.0
+        sys.stdout.write(
+            f"[debug-zr] baseline_bytes={len(baseline_bs)} zr_bytes={len(bitstream)} gain={gain:g}%\n"
+        )
 
     with StagedOutputFile(out_path) as staged:
         ok = staged.is_ready()

@@ -304,9 +304,10 @@ def _validate_pcm_range(samples, bit_depth):
 class FrameDecoder:
     """Whole-frame decoder (lac/decoder.cpp:76-303)."""
 
-    def __init__(self, use_native=True):
+    def __init__(self, use_native=True, backend="native"):
         self.thread_count = 0
-        self.use_native = use_native
+        self.use_native = use_native and backend != "python"
+        self.backend = backend
 
     def set_thread_count(self, n):
         self.thread_count = n
@@ -417,7 +418,18 @@ class FrameDecoder:
             payload_offsets = np.concatenate([[0], np.cumsum(payload_sizes)])[:-1]
 
             native_done = False
-            if self.use_native:
+            if self.backend == "device":
+                from .device_decode import decode_v3_device
+
+                try:
+                    left, right = decode_v3_device(
+                        hdr, np.asarray(block_sizes), np.asarray(payload_sizes),
+                        block_payload, total_samples, self.thread_count,
+                    )
+                    native_done = True
+                except ValueError as e:
+                    raise DecodeError(f"[decode-error] {e}")
+            if not native_done and self.use_native:
                 from .runtime.native import decode_v3_blocks_native
 
                 try:

@@ -41,6 +41,13 @@ _CANDIDATES = (
 _NCAND = len(_CANDIDATES)
 _LPC_BASE = 6  # index of the first LPC candidate
 
+# compact token classes shipped device->host (see plan_group emission)
+CLS_RICE = 0  # rice/static/bin-fallback: unary=q, tail=(rem, k+1)
+CLS_HEAD_ONLY = 1  # bin direct tokens: head bits only
+CLS_RUN = 2  # zero-run token: payload = run length
+CLS_ESCAPE = 3  # 32-bit zigzag escape: tail = (payload, 32)
+CLS_SILENT = 4  # inside a run: emits nothing
+
 
 def _pad_to_byte(bits, xp):
     return bits + ((xp.uint64(8) - (bits & xp.uint64(7))) & xp.uint64(7))
@@ -264,81 +271,67 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     zw = v_w == 0
     run_len_e, long_e, start_e = runs.zero_run_info(zw, pos, seg_end, xp=xp)
 
-    ku = k_eff.astype(xp.uint64)
-    q = u_w >> ku  # k <= 31 always on the wire (Rice::encode guard is k>=32)
-    rem = u_w & ((xp.uint64(1) << ku) - xp.uint64(1))
-
-    head_val = xp.zeros((B, n), dtype=xp.uint64)
-    head_len = xp.zeros((B, n), dtype=xp.int64)
-    unary = xp.zeros((B, n), dtype=xp.int64)
-    tail_val = xp.zeros((B, n), dtype=xp.uint64)
-    tail_len = xp.zeros((B, n), dtype=xp.int64)
-
-    is_rice = (mode_smp == C.MODE_RICE) | (mode_smp == C.MODE_STATIC)
-    unary = xp.where(is_rice, q.astype(xp.int64), unary)
-    tail_val = xp.where(is_rice, rem, tail_val)
-    tail_len = xp.where(is_rice, (ku + xp.uint64(1)).astype(xp.int64), tail_len)
-
+    # ---- compact token codes for the device->host hop (6 bytes/sample:
+    # u32 payload + headcode u8 + k u8). The host expands these to
+    # (head, unary, tail) fields with a handful of vectorized ops — the
+    # dev tunnel's D2H bandwidth makes every byte count.
     is_bin = mode_smp == C.MODE_BIN
-    absv = xp.abs(v_w.astype(xp.int64))
-    sign = (v_w < 0).astype(xp.uint64)
-    sel1 = is_bin & (absv == 1)
-    sel2 = is_bin & (absv == 2)
-    self_ = is_bin & (absv == 0)
-    bf = is_bin & (absv > 2)
-    head_val = xp.where(self_, xp.uint64(C.BIN_TAG_ZERO), head_val)
-    head_len = xp.where(self_, xp.int64(2), head_len)
-    head_val = xp.where(sel1, (xp.uint64(C.BIN_TAG_ONE) << xp.uint64(1)) | sign, head_val)
-    head_len = xp.where(sel1, xp.int64(3), head_len)
-    head_val = xp.where(sel2, (xp.uint64(C.BIN_TAG_TWO) << xp.uint64(1)) | sign, head_val)
-    head_len = xp.where(sel2, xp.int64(3), head_len)
-    head_val = xp.where(bf, xp.uint64(C.BIN_TAG_FALLBACK), head_val)
-    head_len = xp.where(bf, xp.int64(2), head_len)
-    unary = xp.where(bf, q.astype(xp.int64), unary)
-    tail_val = xp.where(bf, rem, tail_val)
-    tail_len = xp.where(bf, (ku + xp.uint64(1)).astype(xp.int64), tail_len)
-
     is_zr = mode_smp == C.MODE_ZERO_RUN
+    absv = xp.abs(v_w.astype(xp.int64))
+    sign = (v_w < 0).astype(xp.uint8)
     esc_shift = xp.minimum(k_eff + C.ESCAPE_K_OFFSET, xp.int32(C.ESCAPE_K_CAP))
     escape = is_zr & ~long_e & (u_w > (xp.uint64(1) << esc_shift.astype(xp.uint64)))
-    normal = is_zr & ~long_e & ~escape
     zr_run = is_zr & start_e
     silent = is_zr & long_e & ~start_e
-    rl_u = (run_len_e - C.ZERO_RUN_MIN_LENGTH).astype(xp.uint64)
-    head_val = xp.where(zr_run, xp.uint64(C.ZR_TAG_RUN), head_val)
-    head_len = xp.where(zr_run, xp.int64(2), head_len)
-    unary = xp.where(zr_run, (rl_u >> xp.uint64(C.ZERO_RUN_LENGTH_K)).astype(xp.int64), unary)
-    tail_val = xp.where(zr_run, rl_u & xp.uint64(3), tail_val)
-    tail_len = xp.where(zr_run, xp.int64(1 + C.ZERO_RUN_LENGTH_K), tail_len)
-    head_len = xp.where(silent, xp.int64(0), head_len)
-    head_val = xp.where(silent, xp.uint64(0), head_val)
-    unary = xp.where(silent, xp.int64(0), unary)
-    tail_len = xp.where(silent, xp.int64(0), tail_len)
-    head_val = xp.where(escape, xp.uint64(C.ZR_TAG_ESCAPE), head_val)
-    head_len = xp.where(escape, xp.int64(2), head_len)
-    unary = xp.where(escape, xp.int64(0), unary)
-    tail_val = xp.where(escape, u_w, tail_val)
-    tail_len = xp.where(escape, xp.int64(32), tail_len)
-    head_val = xp.where(normal, xp.uint64(C.ZR_TAG_NORMAL), head_val)
-    head_len = xp.where(normal, xp.int64(2), head_len)
-    unary = xp.where(normal, q.astype(xp.int64), unary)
-    tail_val = xp.where(normal, rem, tail_val)
-    tail_len = xp.where(normal, (ku + xp.uint64(1)).astype(xp.int64), tail_len)
+    zr_normal = is_zr & ~long_e & ~escape
 
-    # narrow dtypes for the device->host hop: heads fit u8, unary/tail
-    # values fit u32, lengths fit u8 (tokens are <= 33 bits)
-    return {
-        "sel_idx": sel_idx,
-        "best_p": best_p,
-        "sel_modes": sel_modes.astype(xp.int8),
-        "sel_ks": sel_ks.astype(xp.int8),
-        "lpc_in_range": lpc_in_range,
-        "head_val": head_val.astype(xp.uint8),
-        "head_len": head_len.astype(xp.uint8),
-        "unary": unary.astype(xp.uint32),
-        "tail_val": tail_val.astype(xp.uint32),
-        "tail_len": tail_len.astype(xp.uint8),
-    }
+    cls = xp.zeros((B, n), dtype=xp.uint8)  # CLS_RICE default
+    head_val = xp.zeros((B, n), dtype=xp.uint8)
+    head_len = xp.zeros((B, n), dtype=xp.uint8)
+
+    b_direct = is_bin & (absv <= 2)
+    cls = xp.where(b_direct, xp.uint8(CLS_HEAD_ONLY), cls)
+    head_val = xp.where(is_bin & (absv == 0), xp.uint8(C.BIN_TAG_ZERO), head_val)
+    head_len = xp.where(is_bin & (absv == 0), xp.uint8(2), head_len)
+    head_val = xp.where(is_bin & (absv == 1), xp.uint8(C.BIN_TAG_ONE << 1) | sign, head_val)
+    head_len = xp.where(is_bin & (absv == 1), xp.uint8(3), head_len)
+    head_val = xp.where(is_bin & (absv == 2), xp.uint8(C.BIN_TAG_TWO << 1) | sign, head_val)
+    head_len = xp.where(is_bin & (absv == 2), xp.uint8(3), head_len)
+    head_val = xp.where(is_bin & (absv > 2), xp.uint8(C.BIN_TAG_FALLBACK), head_val)
+    head_len = xp.where(is_bin & (absv > 2), xp.uint8(2), head_len)
+    head_val = xp.where(zr_normal, xp.uint8(C.ZR_TAG_NORMAL), head_val)
+    head_len = xp.where(zr_normal, xp.uint8(2), head_len)
+    cls = xp.where(zr_run, xp.uint8(CLS_RUN), cls)
+    head_val = xp.where(zr_run, xp.uint8(C.ZR_TAG_RUN), head_val)
+    head_len = xp.where(zr_run, xp.uint8(2), head_len)
+    cls = xp.where(escape, xp.uint8(CLS_ESCAPE), cls)
+    head_val = xp.where(escape, xp.uint8(C.ZR_TAG_ESCAPE), head_val)
+    head_len = xp.where(escape, xp.uint8(2), head_len)
+    cls = xp.where(silent, xp.uint8(CLS_SILENT), cls)
+    head_val = xp.where(silent, xp.uint8(0), head_val)
+    head_len = xp.where(silent, xp.uint8(0), head_len)
+
+    headcode = cls | (head_val << xp.uint8(3)) | (head_len << xp.uint8(6))
+    payload = xp.where(zr_run, run_len_e.astype(xp.uint64), u_w).astype(xp.uint32)
+
+    # one contiguous u8 ship buffer: payload LE bytes, headcode, k
+    pb = [(payload >> xp.uint32(8 * i)).astype(xp.uint8) for i in range(4)]
+    ship = xp.stack(pb + [headcode, k_eff.astype(xp.uint8)], axis=-1)  # (B, n, 6)
+
+    # compact per-lane metadata (int8): sel_idx, best_p, in_range flag,
+    # then partition modes and ks
+    all_in_range = xp.all(lpc_in_range).astype(xp.int8)
+    meta = xp.concatenate(
+        [
+            sel_idx.astype(xp.int8)[:, None],
+            best_p.astype(xp.int8)[:, None],
+            xp.broadcast_to(all_in_range, (B,))[:, None],
+            sel_modes.astype(xp.int8),
+            sel_ks.astype(xp.int8),
+        ],
+        axis=-1,
+    )
+    return {"ship": ship.reshape(B, n * 6), "meta": meta}
 
 
 def _np_setcol(a, col, vals):
@@ -374,8 +367,12 @@ class ChannelBlockEncoder:
         self.partitioning_enabled = bool(partitioning_enabled)
         self.xp = xp
 
-    def _lpc_analysis(self, pcm_np, n):
-        """Device autocorrelation + host 80-bit LD -> candidate arrays."""
+    def _lpc_analysis(self, pcm_np, n, pcm_dev=None):
+        """Device autocorrelation + host 80-bit LD -> candidate arrays.
+
+        ``pcm_dev`` may be a (possibly padded) device array to reuse the
+        upload made for the planner.
+        """
         B = pcm_np.shape[0]
         ncl = len(C.LPC_ORDER_CANDIDATES)
         coeffs = np.zeros((ncl, B, 13), dtype=np.int16)
@@ -385,7 +382,8 @@ class ChannelBlockEncoder:
         if not any(c <= max_valid_order for c in C.LPC_ORDER_CANDIDATES):
             return coeffs, used, valid, max_valid_order
         if is_jax(self.xp):
-            R = np.asarray(_jitted_autocorr(12)(self.xp.asarray(pcm_np)))
+            dev = pcm_dev if pcm_dev is not None else self.xp.asarray(pcm_np)
+            R = np.asarray(_jitted_autocorr(12)(dev))[:B]
         else:
             R = lpc.autocorrelation(pcm_np, 12)
         Rld = np.asarray(R, dtype=np.longdouble)
@@ -408,67 +406,116 @@ class ChannelBlockEncoder:
 
     def encode_group(self, pcm):
         """Encode a (B, n) int32 group; returns list of payload bytes."""
+        return self.encode_group_async(pcm)()
+
+    def encode_group_async(self, pcm):
+        """Dispatch the device work for a group; returns a finisher
+        callable producing the payload byte list. Dispatch-then-finish
+        lets the frame encoder overlap device compute of later groups
+        with host fetch+pack of earlier ones."""
         xp = self.xp
         pcm_np = np.ascontiguousarray(pcm, dtype=np.int32)
         B, n = pcm_np.shape
         if is_jax(xp) and B > self.MAX_DEVICE_BATCH:
-            out = []
-            for lo in range(0, B, self.MAX_DEVICE_BATCH):
-                out.extend(self.encode_group(pcm_np[lo : lo + self.MAX_DEVICE_BATCH]))
-            return out
-
-        coeffs, used, lvalid, max_valid_order = self._lpc_analysis(pcm_np, n)
+            finishers = [
+                self.encode_group_async(pcm_np[lo : lo + self.MAX_DEVICE_BATCH])
+                for lo in range(0, B, self.MAX_DEVICE_BATCH)
+            ]
+            return lambda: [pb for fin in finishers for pb in fin()]
 
         if is_jax(xp):
+            import jax
+
             Bp = 1 << max(0, (B - 1).bit_length())  # next power of two
-            pcm_pad = np.zeros((Bp, n), np.int32)
+            # 16-bit-domain input ships as int16 (H2D over the tunnel is slow)
+            small = pcm_np.min(initial=0) >= -32768 and pcm_np.max(initial=0) <= 32767
+            pcm_pad = np.zeros((Bp, n), np.int16 if small else np.int32)
             pcm_pad[:B] = pcm_np
+            pcm_dev = jax.device_put(pcm_pad)
+            coeffs, used, lvalid, max_valid_order = self._lpc_analysis(pcm_np, n, pcm_dev=pcm_dev)
             coeffs_pad = np.zeros((coeffs.shape[0], Bp, 13), np.int16)
             coeffs_pad[:, :B] = coeffs
             lvalid_pad = np.zeros((lvalid.shape[0], Bp), bool)
             lvalid_pad[:, :B] = lvalid
-            plan = _jitted_plan(n, self.zero_run_enabled, self.partitioning_enabled)(
-                xp.asarray(pcm_pad), xp.asarray(coeffs_pad), xp.asarray(lvalid_pad)
-            )
-            plan = {
-                k: (np.asarray(v)[:, :B] if k == "lpc_in_range" else np.asarray(v)[:B])
-                for k, v in plan.items()
-            }
-        else:
-            plan = plan_group(
-                pcm_np, coeffs, lvalid, n, self.zero_run_enabled, self.partitioning_enabled, np
-            )
-            plan = {k: np.asarray(v) for k, v in plan.items()}
-
-        if not plan["lpc_in_range"].all():
-            # open-loop int32 overflow: impossible for validated PCM input;
-            # if it ever fires, the affected lanes take the host ladder path.
-            raise NotImplementedError(
-                "LPC residual overflow fallback ladder hit — input outside validated PCM domain"
+            fut = _jitted_plan(n, self.zero_run_enabled, self.partitioning_enabled)(
+                pcm_dev, xp.asarray(coeffs_pad), xp.asarray(lvalid_pad)
             )
 
-        return self._emit(plan, coeffs, used, max_valid_order, B, n)
+            def finish():
+                ship = np.asarray(fut["ship"])[:B]
+                meta = np.asarray(fut["meta"])[:B]
+                return self._emit(ship, meta, coeffs, used, max_valid_order, B, n)
 
-    def _emit(self, plan, coeffs, used, max_valid_order, B, n):
-        """Assemble per-lane element streams and pack them to bytes.
+            return finish
+
+        coeffs, used, lvalid, max_valid_order = self._lpc_analysis(pcm_np, n)
+        plan = plan_group(
+            pcm_np, coeffs, lvalid, n, self.zero_run_enabled, self.partitioning_enabled, np
+        )
+        ship = np.asarray(plan["ship"])
+        meta = np.asarray(plan["meta"])
+        return lambda: self._emit(ship, meta, coeffs, used, max_valid_order, B, n)
+
+    def _emit(self, ship, meta, coeffs, used, max_valid_order, B, n):
+        """Expand compact token codes and pack per-lane payload bytes.
 
         The token body is interleaved vectorized across lanes; per-lane
         wire prefixes (predictor header, coeffs, control, partition
         metadata) are tiny python lists. Packing fans out across lanes
         in the native runtime (pure-numpy fallback below).
         """
-        sel = plan["sel_idx"]
-        best_p = plan["best_p"]
+        sel = meta[:, 0].astype(np.int32)
+        best_p = meta[:, 1].astype(np.int32)
+        if meta[0, 2] == 0:
+            # open-loop int32 overflow: impossible for validated PCM input;
+            # if it ever fires, the affected lanes take the host ladder path.
+            raise NotImplementedError(
+                "LPC residual overflow fallback ladder hit — input outside validated PCM domain"
+            )
+        max_p0 = (
+            max_partition_order_for_block(n)
+            if (self.partitioning_enabled and n >= C.MIN_PARTITION_SIZE)
+            else 0
+        )
+        max_parts = 1 << max_p0
+        sel_modes = meta[:, 3 : 3 + max_parts]
+        sel_ks = meta[:, 3 + max_parts : 3 + 2 * max_parts]
+
+        # expand compact codes -> (head, unary, tail) token fields
+        shipv = ship.reshape(B, n, 6)
+        payload = (
+            shipv[..., 0].astype(np.uint32)
+            | (shipv[..., 1].astype(np.uint32) << np.uint32(8))
+            | (shipv[..., 2].astype(np.uint32) << np.uint32(16))
+            | (shipv[..., 3].astype(np.uint32) << np.uint32(24))
+        )
+        headcode = shipv[..., 4]
+        k = shipv[..., 5].astype(np.uint32)
+        cls = headcode & 7
+        head_val = (headcode >> 3) & 7
+        head_len = headcode >> 6
+        rice_like = cls == CLS_RICE
+        q = payload >> k
+        rem = payload & ((np.uint32(1) << k) - np.uint32(1))
+        rl = payload - np.uint32(C.ZERO_RUN_MIN_LENGTH)
+        is_run = cls == CLS_RUN
+        is_esc = cls == CLS_ESCAPE
+        unary = np.where(rice_like, q, np.where(is_run, rl >> np.uint32(C.ZERO_RUN_LENGTH_K), np.uint32(0)))
+        tail_val = np.where(rice_like, rem, np.where(is_run, rl & np.uint32(3), np.where(is_esc, payload, np.uint32(0))))
+        tail_len = np.where(
+            rice_like, (k + 1).astype(np.uint8),
+            np.where(is_run, np.uint8(1 + C.ZERO_RUN_LENGTH_K), np.where(is_esc, np.uint8(32), np.uint8(0))),
+        ).astype(np.uint8)
 
         # vectorized interleave of (head, unary+tail) element pairs
         body_u = np.zeros((B, 2 * n), dtype=np.uint32)
         body_v = np.zeros((B, 2 * n), dtype=np.uint32)
         body_l = np.zeros((B, 2 * n), dtype=np.uint8)
-        body_v[:, 0::2] = plan["head_val"]
-        body_l[:, 0::2] = plan["head_len"]
-        body_u[:, 1::2] = plan["unary"]
-        body_v[:, 1::2] = plan["tail_val"]
-        body_l[:, 1::2] = plan["tail_len"]
+        body_v[:, 0::2] = head_val
+        body_l[:, 0::2] = head_len
+        body_u[:, 1::2] = unary
+        body_v[:, 1::2] = tail_val
+        body_l[:, 1::2] = tail_len
 
         pieces_u, pieces_v, pieces_l = [], [], []
         counts = []
@@ -490,8 +537,8 @@ class ChannelBlockEncoder:
                 pre_lens.append(8)
             p = int(best_p[row])
             nparts = 1 << p
-            modes = plan["sel_modes"][row, :nparts]
-            ks = plan["sel_ks"][row, :nparts]
+            modes = sel_modes[row, :nparts]
+            ks = sel_ks[row, :nparts]
             pre_vals.append(control_byte(int(modes[0]), p))
             pre_lens.append(8)
             pre_vals.extend(((int(m) << 5) | int(k)) for m, k in zip(modes, ks))
@@ -622,13 +669,22 @@ class FrameEncoder:
         dual_lanes = []  # (block_idx, variant, slot, data) for uncertain small blocks
 
         if per_block:
-            # vectorized proxy decision for every block
-            decisions = []
+            # proxy decision for every block: all full blocks in one
+            # batched call, odd-sized tail separately
+            decisions = [None] * nblocks
+            full = [bi for bi, sz in enumerate(sizes) if sz == C.MAX_BLOCK_SIZE]
+            if full:
+                lmat = np.stack([left[starts[bi] : starts[bi] + C.MAX_BLOCK_SIZE] for bi in full])
+                rmat = np.stack([right[starts[bi] : starts[bi] + C.MAX_BLOCK_SIZE] for bi in full])
+                cm, un = estimate_stereo_mode(lmat, rmat, np.ones(lmat.shape, bool))
+                for j, bi in enumerate(full):
+                    decisions[bi] = (bool(cm[j]), bool(un[j]))
             for bi, (s, sz) in enumerate(zip(starts, sizes)):
-                ch_l = left[s : s + sz][None, :]
-                ch_r = right[s : s + sz][None, :]
-                cm, un = estimate_stereo_mode(ch_l, ch_r, np.ones((1, sz), bool))
-                decisions.append((bool(np.asarray(cm)[0]), bool(np.asarray(un)[0])))
+                if decisions[bi] is None:
+                    cm, un = estimate_stereo_mode(
+                        left[s : s + sz][None, :], right[s : s + sz][None, :], np.ones((1, sz), bool)
+                    )
+                    decisions[bi] = (bool(np.asarray(cm)[0]), bool(np.asarray(un)[0]))
         for bi, (s, sz) in enumerate(zip(starts, sizes)):
             if not is_stereo:
                 add_lane(bi, 0, left[s : s + sz])
@@ -663,15 +719,19 @@ class FrameEncoder:
         enc = ChannelBlockEncoder(self.zero_run_enabled, self.partitioning_enabled, xp=xp)
 
         def encode_lanes(data_list):
-            """Group by length, encode, return payloads in input order."""
+            """Group by length, dispatch all device work, then finish in
+            order — device compute of later groups overlaps host
+            fetch+pack of earlier ones."""
             out = [None] * len(data_list)
             by_len = {}
             for i, d in enumerate(data_list):
                 by_len.setdefault(len(d), []).append(i)
+            finishers = []
             for length, idxs in by_len.items():
                 group = np.stack([data_list[i] for i in idxs])
-                payloads = enc.encode_group(group)
-                for i, pb in zip(idxs, payloads):
+                finishers.append((idxs, enc.encode_group_async(group)))
+            for idxs, fin in finishers:
+                for i, pb in zip(idxs, fin()):
                     out[i] = pb
             return out
 

@@ -71,6 +71,13 @@ def get_native():
         lib.lac_pack_bits.argtypes = [u64p, u8p, ctypes.c_uint64]
         lib.lac_pack_stream.restype = ctypes.c_uint64
         lib.lac_pack_stream.argtypes = [u64p, u64p, u8p, ctypes.c_uint64, u8p, ctypes.c_uint64]
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.lac_tokenize_v3_blocks.restype = ctypes.c_int
+        lib.lac_tokenize_v3_blocks.argtypes = [
+            u8p, u64p, u64p, u32p, u64p,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            i32p, ctypes.c_uint64, u8p, u8p, i16p, u8p, ctypes.c_int32,
+        ]
         lib.lac_pack_streams_sizes.restype = None
         lib.lac_pack_streams_sizes.argtypes = [u32p, u8p, u64p, ctypes.c_uint32, u64p]
         lib.lac_pack_streams.restype = None
@@ -143,6 +150,39 @@ def pack_streams_native(unary, field_val, field_len, elem_offsets, num_threads=0
     )
     raw = out.tobytes()
     return [raw[int(out_offsets[i]) : int(out_offsets[i + 1])] for i in range(S)]
+
+
+def tokenize_v3_blocks_native(payload, payload_offsets, payload_sizes, block_sizes,
+                              sample_offsets, channels, stereo_mode, total_samples,
+                              num_threads=0):
+    """Tokenize v3 blocks -> (residual planes (C, total), ptype, order,
+    coeffs, ms_flags). Raises ValueError on a bad block; None if the
+    native library is unavailable."""
+    lib = get_native()
+    if lib is None:
+        return None
+    payload = np.frombuffer(payload, dtype=np.uint8)
+    po = np.ascontiguousarray(payload_offsets, dtype=np.uint64)
+    ps = np.ascontiguousarray(payload_sizes, dtype=np.uint64)
+    bs = np.ascontiguousarray(block_sizes, dtype=np.uint32)
+    so = np.ascontiguousarray(sample_offsets, dtype=np.uint64)
+    nb = len(bs)
+    res = np.zeros((channels, total_samples), dtype=np.int32)
+    ptype = np.zeros(nb * channels, dtype=np.uint8)
+    order = np.zeros(nb * channels, dtype=np.uint8)
+    coeffs = np.zeros((nb * channels, 33), dtype=np.int16)
+    msflag = np.zeros(nb, dtype=np.uint8)
+    status = lib.lac_tokenize_v3_blocks(
+        _ptr(payload, ctypes.c_uint8), _ptr(po, ctypes.c_uint64), _ptr(ps, ctypes.c_uint64),
+        _ptr(bs, ctypes.c_uint32), _ptr(so, ctypes.c_uint64),
+        nb, channels, stereo_mode,
+        _ptr(res, ctypes.c_int32), total_samples,
+        _ptr(ptype, ctypes.c_uint8), _ptr(order, ctypes.c_uint8),
+        _ptr(coeffs, ctypes.c_int16), _ptr(msflag, ctypes.c_uint8), num_threads,
+    )
+    if status != 0:
+        raise ValueError(f"block={-status - 1}")
+    return res, ptype.reshape(nb, channels), order.reshape(nb, channels), coeffs.reshape(nb, channels, 33), msflag
 
 
 def decode_v3_blocks_native(payload, payload_offsets, payload_sizes, block_sizes,

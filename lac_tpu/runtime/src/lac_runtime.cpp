@@ -378,8 +378,16 @@ inline uint32_t part_size_at(uint32_t size, uint8_t order, uint32_t i, uint32_t 
   return (i + 1 == count) ? size - base * (count - 1) : base;
 }
 
+struct BlockMeta {
+  uint8_t ptype = 0;
+  uint8_t order = 0;
+  int16_t coeffs[33] = {0};
+};
+
 // canonical-rule citations: reference block/decoder.cpp:407-519
-bool decode_channel_block(Reader& r, uint32_t block_size, int32_t* out) {
+// parse the channel block into residuals; reconstruction is separate so
+// the TPU path can run batched restores on device.
+bool parse_channel_block(Reader& r, uint32_t block_size, int32_t* out, BlockMeta& meta) {
   if (block_size == 0 || block_size > kMaxBlock) return false;
   const uint32_t ptype = static_cast<uint32_t>(read_bits(r, 8));
   const uint32_t order = static_cast<uint32_t>(read_bits(r, 8));
@@ -391,10 +399,11 @@ bool decode_channel_block(Reader& r, uint32_t block_size, int32_t* out) {
   } else if (order > 4) {
     return false;
   }
-  int16_t coeffs[33] = {0};
+  meta.ptype = static_cast<uint8_t>(ptype);
+  meta.order = static_cast<uint8_t>(order);
   if (ptype == 2) {
     for (uint32_t i = 1; i <= order; ++i) {
-      coeffs[i] = static_cast<int16_t>(read_bits(r, 16));
+      meta.coeffs[i] = static_cast<int16_t>(read_bits(r, 16));
       if (r.err) return false;
     }
   }
@@ -428,11 +437,19 @@ bool decode_channel_block(Reader& r, uint32_t block_size, int32_t* out) {
     off += psz;
   }
   if (off != block_size) return false;
-  if (!consume_zero_padding(r)) return false;
+  return consume_zero_padding(r);
+}
 
-  if (ptype == 0) return restore_fixed(out, block_size, static_cast<int>(order));
-  if (ptype == 1) return restore_fir(out, block_size);
-  return restore_lpc(out, block_size, coeffs, static_cast<int>(order));
+bool restore_block(const BlockMeta& meta, int32_t* out, uint32_t block_size) {
+  if (meta.ptype == 0) return restore_fixed(out, block_size, meta.order);
+  if (meta.ptype == 1) return restore_fir(out, block_size);
+  return restore_lpc(out, block_size, meta.coeffs, meta.order);
+}
+
+bool decode_channel_block(Reader& r, uint32_t block_size, int32_t* out) {
+  BlockMeta meta;
+  if (!parse_channel_block(r, block_size, out, meta)) return false;
+  return restore_block(meta, out, block_size);
 }
 
 inline bool pcm_in_range(const int32_t* x, uint32_t n, uint32_t depth) {
@@ -582,6 +599,79 @@ uint64_t lac_pack_stream(const uint64_t* unary,
     out[nout++] = static_cast<uint8_t>((acc << (8 - nacc)) & 0xFFu);
   }
   return nout;
+}
+
+// tokenize v3 block payloads into residual planes + predictor metadata,
+// deferring reconstruction (the TPU decode path restores on device).
+// returns 0 or -(block_index+1).
+int lac_tokenize_v3_blocks(const uint8_t* payload,
+                           const uint64_t* payload_offsets,
+                           const uint64_t* payload_sizes,
+                           const uint32_t* block_sizes,
+                           const uint64_t* sample_offsets,
+                           uint32_t block_count,
+                           uint32_t channels,
+                           uint32_t stereo_mode,
+                           int32_t* out_res,      // channel planes, total x channels
+                           uint64_t plane_stride,  // samples per plane
+                           uint8_t* out_ptype,    // (block_count * channels)
+                           uint8_t* out_order,    // (block_count * channels)
+                           int16_t* out_coeffs,   // (block_count * channels * 33)
+                           uint8_t* out_msflag,   // (block_count)
+                           int32_t num_threads) {
+  const bool is_stereo = channels == 2;
+  const bool per_block = is_stereo && stereo_mode == 2;
+  const bool force_ms = is_stereo && stereo_mode == 1;
+  std::atomic<uint32_t> next{0};
+  std::atomic<int> status{0};
+
+  auto worker = [&]() {
+    while (status.load(std::memory_order_relaxed) == 0) {
+      const uint32_t bi = next.fetch_add(1, std::memory_order_relaxed);
+      if (bi >= block_count) return;
+      Reader r;
+      reader_init(r, payload + payload_offsets[bi], payload_sizes[bi]);
+      bool mid_side = force_ms;
+      bool ok = true;
+      if (per_block) {
+        const uint32_t flag = static_cast<uint32_t>(read_bits(r, 8));
+        if (r.err || flag > 1) ok = false;
+        else mid_side = flag == 1;
+      }
+      const uint32_t n = block_sizes[bi];
+      for (uint32_t ch = 0; ok && ch < channels; ++ch) {
+        BlockMeta meta;
+        int32_t* dst = out_res + ch * plane_stride + sample_offsets[bi];
+        ok = parse_channel_block(r, n, dst, meta);
+        if (ok) {
+          const uint32_t slot = bi * channels + ch;
+          out_ptype[slot] = meta.ptype;
+          out_order[slot] = meta.order;
+          std::memcpy(out_coeffs + slot * 33, meta.coeffs, sizeof meta.coeffs);
+        }
+      }
+      if (ok && bits_remaining(r) != 0) ok = false;
+      if (ok) out_msflag[bi] = mid_side ? 1 : 0;
+      if (!ok) {
+        int expect = 0;
+        status.compare_exchange_strong(expect, -static_cast<int>(bi) - 1);
+        return;
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (num_threads > 0 && static_cast<unsigned>(num_threads) < hw) hw = static_cast<unsigned>(num_threads);
+  if (hw > block_count) hw = block_count;
+  if (hw <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(hw);
+    for (unsigned i = 0; i < hw; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return status.load();
 }
 
 // ------------------------------------------------------ multi-stream pack
