@@ -30,7 +30,14 @@ from .format import constants as C
 from .format.partitions import control_byte, max_partition_order_for_block
 from .format.zigzag import zigzag_encode
 from .ops import adapt, lpc, predictors, runs
-from .ops._backend import is_jax
+from .ops._backend import is_jax, shift_right
+
+
+def _repeat_cols(a, sizes_np, n, xp):
+    """Repeat columns of (B, S) by static per-column counts -> (B, n)."""
+    if is_jax(xp):
+        return xp.repeat(a, xp.asarray(sizes_np), axis=-1, total_repeat_length=n)
+    return np.repeat(a, sizes_np, axis=-1)
 
 # candidate table: (predictor_type, order_param), in consideration order
 _CANDIDATES = (
@@ -75,12 +82,28 @@ def _mode_cost_fields(v, u, k_used, run_len, long_run, run_start, xp):
     return rice_per, bin_per, zr_per
 
 
-def _k_costs_stack(u, weights, k_max, xp):
-    """Weighted rice-cost sums for k in [0, k_max]: (..., k_max+1)."""
-    return xp.stack(
-        [xp.sum(((u >> xp.uint64(k)) + xp.uint64(1 + k)) * weights, axis=-1) for k in range(k_max + 1)],
-        axis=-1,
-    )
+def _k_costs_stack(u, k_max, xp, count=None):
+    """Rice-cost sums for k in [0, k_max]: (..., k_max+1) uint64.
+
+    16-bit-split trick: for k <= 16, ``u >> k = (u_hi << (16-k)) +
+    (u_lo >> k)`` exactly (u_hi = u >> 16), so every big reduction stays
+    in native uint32 (partial sums <= 2^30 for <= 16384 samples of
+    16-bit halves) and only the tiny per-(lane, k) combination uses
+    64-bit math. Emulated u64 reductions are ~5x slower on TPU.
+    """
+    assert k_max <= 16
+    nsamp = u.shape[-1] if count is None else count
+    u32v = u.astype(xp.uint32)
+    uhi = u32v >> xp.uint32(16)
+    ulo = u32v & xp.uint32(0xFFFF)
+    shi = xp.sum(uhi, axis=-1).astype(xp.uint64)  # (..., )
+    cols = []
+    t = ulo
+    for k in range(k_max + 1):
+        slo = xp.sum(t, axis=-1).astype(xp.uint64)
+        cols.append((shi << xp.uint64(16 - k)) + slo + xp.uint64((1 + k)) * xp.uint64(nsamp))
+        t = t >> xp.uint32(1)
+    return xp.stack(cols, axis=-1)
 
 
 def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, xp):
@@ -111,7 +134,7 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     recip_table = adapt.recip_count_table(n)  # baked constant, no div ops
     u = zigzag_encode(residuals).astype(xp.uint64)
     scan = min(C.INITIAL_SCAN_COUNT, n)
-    head_costs = _k_costs_stack(u[..., :scan], xp.uint64(1), C.INITIAL_MAX_K, xp)
+    head_costs = _k_costs_stack(u[..., :scan], C.INITIAL_MAX_K, xp)
     initial_k = xp.argmin(head_costs, axis=-1).astype(xp.int32)
 
     k_after = adapt.k_after_stateful(u, xp=xp, recip_table=recip_table)
@@ -125,7 +148,7 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     zr_bits = xp.sum(zr_per, axis=-1)
     has_run = xp.any(run_start, axis=-1)
 
-    static_costs = _k_costs_stack(u, xp.uint64(1), C.MAX_STATIC_K, xp)
+    static_costs = _k_costs_stack(u, C.MAX_STATIC_K, xp)
     static_k = xp.argmin(static_costs, axis=-1).astype(xp.int32)
     static_bits = xp.min(static_costs, axis=-1)
 
@@ -140,11 +163,14 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     key = xp.where(valid, best_bits_all * xp.uint64(4) + ptype_tab[None, :], UMAX)
     sel_idx = xp.argmin(key, axis=-1).astype(xp.int32)
 
-    g2 = lambda a: xp.take_along_axis(a, sel_idx[:, None], axis=1)[:, 0]
-    g3 = lambda a: xp.take_along_axis(a, sel_idx[:, None, None], axis=1)[:, 0]
-    v_w = g3(residuals)
-    u_w = g3(u)
-    k_after_w = g3(k_after)
+    # winner extraction: one-hot masked sums (a dynamic gather along the
+    # candidate axis costs ~100x more than an elementwise pass on TPU)
+    onehot = (sel_idx[:, None] == xp.arange(_NCAND, dtype=xp.int32)[None, :])
+    oh3 = onehot[:, :, None]
+    g2 = lambda a: xp.take_along_axis(a, sel_idx[:, None], axis=1)[:, 0]  # (B, ncand): tiny
+    v_w = xp.sum(xp.where(oh3, residuals, xp.int32(0)), axis=1)
+    u_w = xp.sum(xp.where(oh3, u, xp.uint64(0)), axis=1)
+    k_after_w = xp.sum(xp.where(oh3, k_after, xp.int32(0)), axis=1)
     initial_k_w = g2(initial_k)
     static_k_w = g2(static_k)
 
@@ -176,50 +202,87 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     sel_modes = sel_modes.at[:, 0].set(base_mode) if is_jax(xp) else _np_setcol(sel_modes, 0, base_mode)
     sel_ks = sel_ks.at[:, 0].set(base_k) if is_jax(xp) else _np_setcol(sel_ks, 0, base_k)
 
-    # p-independent precomputations, reused by every sweep iteration:
-    # inclusive cumsum of u (stateless k), zero-run breaks, and one
-    # (B, n+1, 16) cumsum of per-k rice costs — every per-partition
-    # k-cost sum then becomes a pair of boundary gathers.
+    # whole-block run geometry + emission state (p = 0 defaults). The
+    # emission state is overwritten whenever the sweep accepts a finer
+    # partitioning, so no per-lane dynamic gathers are ever needed.
+    zw0 = v_w == 0
+    last_nz, next_nz = runs.zero_breaks(zw0, xp=xp)
+    rl0, long0, start0 = runs.run_geometry(zw0, last_nz, next_nz, idx, xp.int64(n), xp=xp)
+    e_k_adapt = adapt.k_used_from_after(k_after_w, initial_k_w, xp=xp)
+    e_mode = xp.broadcast_to(base_mode[:, None], (B, n))
+    e_kfield = xp.broadcast_to(base_k[:, None], (B, n))
+    e_rl, e_long, e_start = rl0, long0, start0
+
+    # p-independent precomputations, reused by every sweep iteration.
+    # All big accumulations use the 16-bit-split trick (u = uhi<<16+ulo)
+    # so cumsums run in native uint32; 64-bit math only touches the tiny
+    # (B, nparts) boundary combinations.
     if max_p > 0:
-        cs_u = xp.cumsum(u_w, axis=-1)
-        zw0 = v_w == 0
-        last_nz, next_nz = runs.zero_breaks(zw0, xp=xp)
-        karr = xp.asarray(np.arange(C.MAX_STATIC_K + 1, dtype=np.uint64))
-        cost_nk = (u_w[..., None] >> karr) + (karr + xp.uint64(1))  # (B, n, 16)
-        csk = xp.concatenate(
-            [xp.zeros((B, 1, C.MAX_STATIC_K + 1), dtype=xp.uint64), xp.cumsum(cost_nk, axis=-2)],
-            axis=-2,
-        )  # (B, n+1, 16)
+        u32v = u_w.astype(xp.uint32)
+        uhi = u32v >> xp.uint32(16)
+        ulo = u32v & xp.uint32(0xFFFF)
+        zero1 = xp.zeros((B, 1), dtype=xp.uint32)
+        csz_hi = xp.concatenate([zero1, xp.cumsum(uhi, axis=-1)], axis=-1)  # (B, n+1)
+        csz_lo = xp.concatenate([zero1, xp.cumsum(ulo, axis=-1)], axis=-1)
+        # per-k shifted-low cost cumsums: (B, n+1, 17)
+        lo_k = xp.stack([ulo >> xp.uint32(k) for k in range(C.MAX_STATIC_K + 1)], axis=-1)
+        csz_lok = xp.concatenate(
+            [xp.zeros((B, 1, C.MAX_STATIC_K + 1), dtype=xp.uint32), xp.cumsum(lo_k, axis=-2)], axis=-2
+        )
+        karr_u64 = xp.asarray(np.arange(C.MAX_STATIC_K + 1, dtype=np.uint64))
+
+    def _k_cost_seg(starts_1d, ends_1d, seg_sizes_u64, kmax):
+        """Per-partition rice-cost stack for k in [0, kmax] from the
+        split cumsums: (B, nparts, kmax+1) uint64."""
+        hi_seg = (csz_hi[:, ends_1d] - csz_hi[:, starts_1d]).astype(xp.uint64)
+        lo_seg = (csz_lok[:, ends_1d, : kmax + 1] - csz_lok[:, starts_1d, : kmax + 1]).astype(xp.uint64)
+        ka = karr_u64[: kmax + 1]
+        return (hi_seg[..., None] << (xp.uint64(16) - ka)) + lo_seg + (ka + xp.uint64(1)) * seg_sizes_u64[..., None]
 
     for p in range(1, max_p + 1):
         base = n >> p
         nparts = 1 << p
-        seg_idx = xp.minimum(idx // base, xp.int64(nparts - 1))
-        pos = idx - seg_idx * base
-        seg_end = xp.where(seg_idx == nparts - 1, xp.int64(n), (seg_idx + 1) * base)
         starts_1d = np.minimum(np.arange(nparts, dtype=np.int64) * base, n)
         ends_1d = np.concatenate([starts_1d[1:], [n]])
+        sizes_np = (ends_1d - starts_1d).astype(np.int64)
         head_ends_1d = np.minimum(starts_1d + C.INITIAL_SCAN_COUNT, ends_1d)
+        head_sizes = np.minimum(sizes_np, C.INITIAL_SCAN_COUNT)
+        pos_np = np.concatenate([np.arange(sz, dtype=np.int64) for sz in sizes_np])
+        seg_end_np = np.repeat(ends_1d, sizes_np)
+        recip_pos = recip_table[pos_np]  # baked constant
 
-        hc = csk[:, head_ends_1d, : C.INITIAL_MAX_K + 1] - csk[:, starts_1d, : C.INITIAL_MAX_K + 1]
+        def rep(a):
+            return _repeat_cols(a, sizes_np, n, xp)
+
+        hc = _k_cost_seg(starts_1d, head_ends_1d, xp.asarray(head_sizes.astype(np.uint64)), C.INITIAL_MAX_K)
         init_k_seg = xp.argmin(hc, axis=-1).astype(xp.int32)  # (B, nparts)
-        init_per_sample = xp.take_along_axis(init_k_seg, xp.broadcast_to(seg_idx, (B, n)), axis=-1)
-        k_used_p = adapt.k_used_stateless_from_cumsum(
-            cs_u, pos, init_per_sample, xp=xp, recip_table=recip_table
-        )
 
-        rl_p, long_p, start_p = runs.run_geometry(zw0, last_nz, next_nz, pos, seg_end, xp=xp)
+        # stateless per-sample k from split segment sums (no gathers:
+        # partition geometry is static, so bases broadcast by repeat)
+        seg_hi = (csz_hi[:, 1:] - rep(csz_hi[:, starts_1d])).astype(xp.uint64)
+        seg_lo = (csz_lo[:, 1:] - rep(csz_lo[:, starts_1d])).astype(xp.uint64)
+        seg_sum = (seg_hi << xp.uint64(16)) + seg_lo
+        k_after_sl = adapt.k_after_stateless(seg_sum, pos_np, xp=xp, recip=recip_pos)
+        k_used_p = xp.where(pos_np == 0, rep(init_k_seg), shift_right(k_after_sl, 1, xp=xp)).astype(xp.int32)
+
+        rl_p, long_p, start_p = runs.run_geometry(zw0, last_nz, next_nz, pos_np, seg_end_np, xp=xp)
         rice_pp, bin_pp, zr_pp = _mode_cost_fields(v_w, u_w, k_used_p, rl_p, long_p, start_p, xp)
-        # one stacked cumsum for the three mode costs + run counter
-        stacked = xp.stack([rice_pp, bin_pp, zr_pp, start_p.astype(xp.uint64)], axis=-1)
-        cs4 = xp.concatenate(
-            [xp.zeros((B, 1, 4), dtype=xp.uint64), xp.cumsum(stacked, axis=-2)], axis=-2
+        # stacked split cumsum for the three mode costs + run counter:
+        # values are <= 2^33, so lo16/hi17 halves keep everything in u32
+        costs3 = xp.stack([rice_pp, bin_pp, zr_pp], axis=-1).astype(xp.uint64)
+        lo3 = (costs3 & xp.uint64(0xFFFF)).astype(xp.uint32)
+        hi3 = (costs3 >> xp.uint64(16)).astype(xp.uint32)
+        stacked = xp.concatenate([lo3, hi3, start_p.astype(xp.uint32)[..., None]], axis=-1)  # (B,n,7)
+        cs7 = xp.concatenate(
+            [xp.zeros((B, 1, 7), dtype=xp.uint32), xp.cumsum(stacked, axis=-2)], axis=-2
         )
-        seg4 = cs4[:, ends_1d, :] - cs4[:, starts_1d, :]
-        rice_s, bin_s, zr_s, run_cnt = (seg4[..., 0], seg4[..., 1], seg4[..., 2], seg4[..., 3])
-        has_run_s = run_cnt > 0
+        seg7 = (cs7[:, ends_1d, :] - cs7[:, starts_1d, :]).astype(xp.uint64)
+        rice_s = (seg7[..., 3] << xp.uint64(16)) + seg7[..., 0]
+        bin_s = (seg7[..., 4] << xp.uint64(16)) + seg7[..., 1]
+        zr_s = (seg7[..., 5] << xp.uint64(16)) + seg7[..., 2]
+        has_run_s = seg7[..., 6] > 0
 
-        sc = csk[:, ends_1d, :] - csk[:, starts_1d, :]
+        sc = _k_cost_seg(starts_1d, ends_1d, xp.asarray(sizes_np.astype(np.uint64)), C.MAX_STATIC_K)
         static_k_s = xp.argmin(sc, axis=-1).astype(xp.int32)
         static_s = xp.min(sc, axis=-1)
 
@@ -248,28 +311,20 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
         k_pad = xp.concatenate([k_s, xp.zeros((B, pad_cols), dtype=xp.int32)], axis=1) if pad_cols else k_s
         sel_modes = xp.where(accept[:, None], mode_pad, sel_modes)
         sel_ks = xp.where(accept[:, None], k_pad, sel_ks)
+        # emission state for accepted lanes (overwrites coarser plans)
+        am = accept[:, None]
+        e_k_adapt = xp.where(am, k_used_p, e_k_adapt)
+        e_mode = xp.where(am, rep(mode_s), e_mode)
+        e_kfield = xp.where(am, rep(k_s), e_kfield)
+        e_rl = xp.where(am, rl_p, e_rl)
+        e_long = xp.where(am, long_p, e_long)
+        e_start = xp.where(am, start_p, e_start)
 
-    # ---- emission fields for the chosen plan (per-lane geometry)
-    base_len = xp.maximum(xp.int64(n) >> best_p.astype(xp.int64), xp.int64(1))[:, None]  # (B,1)
-    nparts_l = (xp.int64(1) << best_p.astype(xp.int64))[:, None]
-    seg_idx = xp.minimum(idx[None, :] // base_len, nparts_l - 1)
-    pos = idx[None, :] - seg_idx * base_len
-    seg_end = xp.where(seg_idx == nparts_l - 1, xp.int64(n), (seg_idx + 1) * base_len)
-
-    mode_smp = xp.take_along_axis(sel_modes, seg_idx, axis=-1)
-    kfield_smp = xp.take_along_axis(sel_ks, seg_idx, axis=-1)
-
-    # adaptive k: stateful for p=0 (seeded with the *adaptive* initial k,
-    # even when the metadata k is static), stateless per partition else
-    k_used_stateful = adapt.k_used_from_after(k_after_w, initial_k_w, xp=xp)
-    k_used_stateless = adapt.k_used_stateless_from_cumsum(
-        xp.cumsum(u_w, axis=-1), pos, kfield_smp, xp=xp, recip_table=recip_table
-    )
-    k_adaptive = xp.where((best_p == 0)[:, None], k_used_stateful, k_used_stateless)
-    k_eff = xp.where(mode_smp == C.MODE_STATIC, kfield_smp, k_adaptive).astype(xp.int32)
-
-    zw = v_w == 0
-    run_len_e, long_e, start_e = runs.zero_run_info(zw, pos, seg_end, xp=xp)
+    # ---- emission fields for the chosen plan (selected during sweep)
+    mode_smp = e_mode
+    kfield_smp = e_kfield
+    k_eff = xp.where(mode_smp == C.MODE_STATIC, kfield_smp, e_k_adapt).astype(xp.int32)
+    run_len_e, long_e, start_e = e_rl, e_long, e_start
 
     # ---- compact token codes for the device->host hop (6 bytes/sample:
     # u32 payload + headcode u8 + k u8). The host expands these to
@@ -359,6 +414,83 @@ def _jitted_autocorr(order):
     return jax.jit(lambda x: lpc.autocorrelation(x, order, xp=jnp))
 
 
+class _GroupJob:
+    """Pipelined encode of one device batch, split into three phases so
+    the frame encoder can overlap H2D uploads, device compute, D2H
+    copies (started asynchronously), and host packing across groups:
+
+    1. ``dispatch_autocorr`` — upload PCM once (int16 when the signal is
+       16-bit-domain), dispatch autocorrelation, start the async host
+       copy of the lags;
+    2. ``dispatch_plan`` — run the tiny 80-bit Levinson-Durbin on the
+       (by now local) lags, dispatch the planner, start async copies of
+       its compact outputs;
+    3. ``finish`` — expand token fields and pack payload bytes.
+    """
+
+    def __init__(self, enc, pcm_np):
+        self.enc = enc
+        self.pcm_np = pcm_np
+        self.B, self.n = pcm_np.shape
+        self.is_jax = is_jax(enc.xp)
+
+    def dispatch_autocorr(self):
+        if not self.is_jax:
+            return
+        import jax
+
+        B, n = self.B, self.n
+        Bp = 1 << max(0, (B - 1).bit_length())
+        small = self.pcm_np.min(initial=0) >= -32768 and self.pcm_np.max(initial=0) <= 32767
+        pcm_pad = np.zeros((Bp, n), np.int16 if small else np.int32)
+        pcm_pad[:B] = self.pcm_np
+        self.pcm_dev = jax.device_put(pcm_pad)
+        self.Bp = Bp
+        max_valid_order = min(32, n - 1) if n > 1 else 0
+        self.need_lpc = any(c <= max_valid_order for c in C.LPC_ORDER_CANDIDATES)
+        if self.need_lpc:
+            self.R_fut = _jitted_autocorr(12)(self.pcm_dev)
+            try:
+                self.R_fut.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    def dispatch_plan(self):
+        enc = self.enc
+        B, n = self.B, self.n
+        if not self.is_jax:
+            coeffs, used, lvalid, mvo = enc._lpc_analysis(self.pcm_np, n)
+            plan = plan_group(
+                self.pcm_np, coeffs, lvalid, n, enc.zero_run_enabled, enc.partitioning_enabled, np
+            )
+            self._result = (np.asarray(plan["ship"]), np.asarray(plan["meta"]), coeffs, used, mvo)
+            return
+        R = np.asarray(self.R_fut)[:B] if self.need_lpc else None
+        coeffs, used, lvalid, mvo = enc._lpc_analysis(self.pcm_np, n, precomputed_R=R)
+        self.coeffs, self.used, self.mvo = coeffs, used, mvo
+        coeffs_pad = np.zeros((coeffs.shape[0], self.Bp, 13), np.int16)
+        coeffs_pad[:, :B] = coeffs
+        lvalid_pad = np.zeros((lvalid.shape[0], self.Bp), bool)
+        lvalid_pad[:, :B] = lvalid
+        self.fut = _jitted_plan(n, enc.zero_run_enabled, enc.partitioning_enabled)(
+            self.pcm_dev, enc.xp.asarray(coeffs_pad), enc.xp.asarray(lvalid_pad)
+        )
+        for key in ("ship", "meta"):
+            try:
+                self.fut[key].copy_to_host_async()
+            except AttributeError:
+                pass
+
+    def finish(self):
+        enc = self.enc
+        if not self.is_jax:
+            ship, meta, coeffs, used, mvo = self._result
+            return enc._emit(ship, meta, coeffs, used, mvo, self.B, self.n)
+        ship = np.asarray(self.fut["ship"])[: self.B]
+        meta = np.asarray(self.fut["meta"])[: self.B]
+        return enc._emit(ship, meta, self.coeffs, self.used, self.mvo, self.B, self.n)
+
+
 class ChannelBlockEncoder:
     """Encodes groups of equal-length channel blocks to wire payloads."""
 
@@ -367,12 +499,10 @@ class ChannelBlockEncoder:
         self.partitioning_enabled = bool(partitioning_enabled)
         self.xp = xp
 
-    def _lpc_analysis(self, pcm_np, n, pcm_dev=None):
-        """Device autocorrelation + host 80-bit LD -> candidate arrays.
-
-        ``pcm_dev`` may be a (possibly padded) device array to reuse the
-        upload made for the planner.
-        """
+    def _lpc_analysis(self, pcm_np, n, precomputed_R=None):
+        """Autocorrelation (device or host) + host 80-bit LD -> candidate
+        arrays. ``precomputed_R`` skips the lag computation (pipelined
+        jobs fetch it asynchronously)."""
         B = pcm_np.shape[0]
         ncl = len(C.LPC_ORDER_CANDIDATES)
         coeffs = np.zeros((ncl, B, 13), dtype=np.int16)
@@ -381,9 +511,10 @@ class ChannelBlockEncoder:
         max_valid_order = min(32, n - 1) if n > 1 else 0
         if not any(c <= max_valid_order for c in C.LPC_ORDER_CANDIDATES):
             return coeffs, used, valid, max_valid_order
-        if is_jax(self.xp):
-            dev = pcm_dev if pcm_dev is not None else self.xp.asarray(pcm_np)
-            R = np.asarray(_jitted_autocorr(12)(dev))[:B]
+        if precomputed_R is not None:
+            R = precomputed_R
+        elif is_jax(self.xp):
+            R = np.asarray(_jitted_autocorr(12)(self.xp.asarray(pcm_np)))[:B]
         else:
             R = lpc.autocorrelation(pcm_np, 12)
         Rld = np.asarray(R, dtype=np.longdouble)
@@ -408,53 +539,24 @@ class ChannelBlockEncoder:
         """Encode a (B, n) int32 group; returns list of payload bytes."""
         return self.encode_group_async(pcm)()
 
-    def encode_group_async(self, pcm):
-        """Dispatch the device work for a group; returns a finisher
-        callable producing the payload byte list. Dispatch-then-finish
-        lets the frame encoder overlap device compute of later groups
-        with host fetch+pack of earlier ones."""
-        xp = self.xp
+    def make_jobs(self, pcm):
+        """Split a group into device-batch jobs (see _GroupJob phases)."""
         pcm_np = np.ascontiguousarray(pcm, dtype=np.int32)
-        B, n = pcm_np.shape
-        if is_jax(xp) and B > self.MAX_DEVICE_BATCH:
-            finishers = [
-                self.encode_group_async(pcm_np[lo : lo + self.MAX_DEVICE_BATCH])
-                for lo in range(0, B, self.MAX_DEVICE_BATCH)
-            ]
-            return lambda: [pb for fin in finishers for pb in fin()]
+        B, _ = pcm_np.shape
+        step = self.MAX_DEVICE_BATCH if is_jax(self.xp) else B
+        return [
+            _GroupJob(self, pcm_np[lo : lo + step])
+            for lo in range(0, max(B, 1), max(step, 1))
+        ]
 
-        if is_jax(xp):
-            import jax
-
-            Bp = 1 << max(0, (B - 1).bit_length())  # next power of two
-            # 16-bit-domain input ships as int16 (H2D over the tunnel is slow)
-            small = pcm_np.min(initial=0) >= -32768 and pcm_np.max(initial=0) <= 32767
-            pcm_pad = np.zeros((Bp, n), np.int16 if small else np.int32)
-            pcm_pad[:B] = pcm_np
-            pcm_dev = jax.device_put(pcm_pad)
-            coeffs, used, lvalid, max_valid_order = self._lpc_analysis(pcm_np, n, pcm_dev=pcm_dev)
-            coeffs_pad = np.zeros((coeffs.shape[0], Bp, 13), np.int16)
-            coeffs_pad[:, :B] = coeffs
-            lvalid_pad = np.zeros((lvalid.shape[0], Bp), bool)
-            lvalid_pad[:, :B] = lvalid
-            fut = _jitted_plan(n, self.zero_run_enabled, self.partitioning_enabled)(
-                pcm_dev, xp.asarray(coeffs_pad), xp.asarray(lvalid_pad)
-            )
-
-            def finish():
-                ship = np.asarray(fut["ship"])[:B]
-                meta = np.asarray(fut["meta"])[:B]
-                return self._emit(ship, meta, coeffs, used, max_valid_order, B, n)
-
-            return finish
-
-        coeffs, used, lvalid, max_valid_order = self._lpc_analysis(pcm_np, n)
-        plan = plan_group(
-            pcm_np, coeffs, lvalid, n, self.zero_run_enabled, self.partitioning_enabled, np
-        )
-        ship = np.asarray(plan["ship"])
-        meta = np.asarray(plan["meta"])
-        return lambda: self._emit(ship, meta, coeffs, used, max_valid_order, B, n)
+    def encode_group_async(self, pcm):
+        """Dispatch all device work for a group; returns a finisher."""
+        jobs = self.make_jobs(pcm)
+        for j in jobs:
+            j.dispatch_autocorr()
+        for j in jobs:
+            j.dispatch_plan()
+        return lambda: [pb for j in jobs for pb in j.finish()]
 
     def _emit(self, ship, meta, coeffs, used, max_valid_order, B, n):
         """Expand compact token codes and pack per-lane payload bytes.
@@ -719,19 +821,26 @@ class FrameEncoder:
         enc = ChannelBlockEncoder(self.zero_run_enabled, self.partitioning_enabled, xp=xp)
 
         def encode_lanes(data_list):
-            """Group by length, dispatch all device work, then finish in
-            order — device compute of later groups overlaps host
-            fetch+pack of earlier ones."""
+            """Group by length, run all jobs through the three pipeline
+            phases globally — uploads, device compute, async D2H copies,
+            and host packing overlap across every group."""
             out = [None] * len(data_list)
             by_len = {}
             for i, d in enumerate(data_list):
                 by_len.setdefault(len(d), []).append(i)
-            finishers = []
+            staged = []
             for length, idxs in by_len.items():
                 group = np.stack([data_list[i] for i in idxs])
-                finishers.append((idxs, enc.encode_group_async(group)))
-            for idxs, fin in finishers:
-                for i, pb in zip(idxs, fin()):
+                staged.append((idxs, enc.make_jobs(group)))
+            for _, jobs in staged:
+                for j in jobs:
+                    j.dispatch_autocorr()
+            for _, jobs in staged:
+                for j in jobs:
+                    j.dispatch_plan()
+            for idxs, jobs in staged:
+                payloads = [pb for j in jobs for pb in j.finish()]
+                for i, pb in zip(idxs, payloads):
                     out[i] = pb
             return out
 

@@ -32,15 +32,25 @@ def recip_count_table(L):
     return 1.0 / np.arange(1, L + 1, dtype=np.float64)
 
 
-def k_after_stateless(seg_sum, pos_in_seg, xp=np, recip_table=None):
+def k_after_stateless(seg_sum, pos_in_seg, xp=np, recip_table=None, recip=None):
     """Stateless adapted k after each sample (block/encoder.cpp:72-77).
 
     ``seg_sum``: segment-local inclusive prefix sum of u (uint64).
-    ``pos_in_seg``: 0-based position within the segment (int64).
-    ``recip_table``: optional (L,) float64 1/(i+1) table.
+    ``pos_in_seg``: 0-based position within the segment (int64; may be a
+    baked numpy constant for static partition geometry).
+    ``recip_table``: optional (L,) float64 1/(i+1) table (gathered at
+    pos); ``recip``: optional precomputed per-sample reciprocal (beats
+    the gather when the geometry is static).
     """
-    count = (pos_in_seg + 1).astype(xp.uint64)
-    recip = None if recip_table is None else xp.asarray(recip_table)[pos_in_seg]
+    if isinstance(pos_in_seg, np.ndarray) or isinstance(pos_in_seg, int):
+        count_np = np.asarray(pos_in_seg, dtype=np.int64) + 1
+        count = xp.asarray(count_np.astype(np.uint64))
+        if recip is None and recip_table is not None and isinstance(recip_table, np.ndarray):
+            recip = recip_table[np.asarray(pos_in_seg)]
+    else:
+        count = (pos_in_seg + 1).astype(xp.uint64)
+        if recip is None and recip_table is not None:
+            recip = xp.asarray(recip_table)[pos_in_seg]
     mean = exact_udiv(seg_sum + (count >> xp.uint64(1)), count, xp=xp, recip=recip)
     k = xp.minimum(xp.int32(C.MAX_RICE_K), bit_width(mean - xp.uint64(1), xp=xp))
     return xp.where(mean <= xp.uint64(1), xp.int32(0), k)

@@ -37,25 +37,31 @@ def ms_inverse(mid, side, xp=np):
 
 
 def _zigzag_mag(v64, xp):
-    """uint64 zigzag of an int64 difference (lac/encoder.cpp:38-41)."""
-    return xp.where(v64 >= 0, v64.astype(xp.uint64) << xp.uint64(1),
-                    ((-(v64 + 1)).astype(xp.uint64) << xp.uint64(1)) | xp.uint64(1))
+    """Zigzag magnitude of an int64 difference (lac/encoder.cpp:38-41).
+
+    ``zigzag(v) = 2v`` for v >= 0 and ``2(-v-1)+1 = -2v-1`` for v < 0 —
+    i.e. ``2|v| - (v < 0)``; values stay well inside int64, and sums over
+    <= 16384 terms of <= 26-bit magnitudes never approach the uint64
+    saturation the reference guards against.
+    """
+    return (xp.abs(v64) << xp.int64(1)) - (v64 < 0)
 
 
 def _approx_rice_bits(total, count, xp):
     """approximate_rice_bits (lac/encoder.cpp:53-57): k from rounded
-    mean, cost = (sum >> k) + count * (k + 1). Saturation is unreachable
-    for <= 2^14 samples of <= 25-bit magnitudes; asserted nowhere hot."""
-    cnt = count.astype(xp.uint64)
-    mean = (total + (cnt >> xp.uint64(1))) // xp.maximum(cnt, xp.uint64(1))
+    mean, cost = (sum >> k) + count * (k + 1). All values fit int64
+    comfortably (the reference's uint64 saturation is unreachable for
+    <= 2^14 samples of <= 26-bit magnitudes)."""
+    cnt = count.astype(xp.int64)
+    mean = (total + (cnt >> xp.int64(1))) // xp.maximum(cnt, xp.int64(1))
     k = xp.where(
-        mean <= xp.uint64(1),
+        mean <= xp.int64(1),
         xp.int32(0),
-        xp.minimum(xp.int32(C.MAX_RICE_K), bit_width(mean - xp.uint64(1), xp=xp)),
+        xp.minimum(xp.int32(C.MAX_RICE_K), bit_width(mean - xp.int64(1), xp=xp)),
     )
-    k64 = k.astype(xp.uint64)
-    bits = (total >> k64) + cnt * (k64 + xp.uint64(1))
-    return xp.where(cnt > 0, bits, xp.uint64(0))
+    k64 = k.astype(xp.int64)
+    bits = (total >> k64) + cnt * (k64 + xp.int64(1))
+    return xp.where(cnt > 0, bits, xp.int64(0))
 
 
 def _channel_proxy(raw_sum, diff_sum, anti_sum, count, xp):
@@ -77,8 +83,9 @@ def estimate_stereo_mode(left, right, valid, xp=np):
     r64 = right.astype(xp.int64)
     m64 = (l64 + r64) >> xp.int64(1)
     s64 = l64 - r64
-    w = valid.astype(xp.uint64)
-    count = xp.sum(valid.astype(xp.int64), axis=-1)
+    all_valid = bool(np.asarray(valid).all()) if not hasattr(valid, "aval") else False
+    w = valid.astype(xp.int64)
+    count = xp.sum(w, axis=-1)
 
     idx = xp.arange(left.shape[-1], dtype=xp.int64)
     first = idx == 0
@@ -89,11 +96,14 @@ def estimate_stereo_mode(left, right, valid, xp=np):
         raw = _zigzag_mag(ch, xp)
         diff = xp.where(first, raw, _zigzag_mag(ch - prev, xp))
         anti = xp.where(first, raw, _zigzag_mag(ch + prev, xp))
-        sums[name] = (
-            xp.sum(raw * w, axis=-1),
-            xp.sum(diff * w, axis=-1),
-            xp.sum(anti * w, axis=-1),
-        )
+        if all_valid:
+            sums[name] = (xp.sum(raw, axis=-1), xp.sum(diff, axis=-1), xp.sum(anti, axis=-1))
+        else:
+            sums[name] = (
+                xp.sum(raw * w, axis=-1),
+                xp.sum(diff * w, axis=-1),
+                xp.sum(anti * w, axis=-1),
+            )
 
     bits = {}
     non_diff_any = None
@@ -111,6 +121,6 @@ def estimate_stereo_mode(left, right, valid, xp=np):
         (smaller == 0)
         | (difference == 0)
         | non_diff_any
-        | (difference <= smaller // xp.uint64(C.STEREO_CONFIDENCE_DIVISOR))
+        | (difference <= smaller // xp.int64(C.STEREO_CONFIDENCE_DIVISOR))
     )
     return choose_ms, uncertain
