@@ -106,7 +106,8 @@ def _k_costs_stack(u, k_max, xp, count=None):
     return xp.stack(cols, axis=-1)
 
 
-def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, xp):
+def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, xp,
+               emit_fields=True):
     """Pure array program: pcm (B, n) + LPC analysis -> full encode plan.
 
     ``lpc_coeffs``: (5, B, 13) int16 Q15 candidate coefficient sets;
@@ -329,7 +330,24 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     # ---- compact token codes for the device->host hop (6 bytes/sample:
     # u32 payload + headcode u8 + k u8). The host expands these to
     # (head, unary, tail) fields with a handful of vectorized ops — the
-    # dev tunnel's D2H bandwidth makes every byte count.
+    # dev tunnel's D2H bandwidth makes every byte count. Skipped when the
+    # native plan-replay emitter is available (only the tiny metadata
+    # leaves the device then).
+    if not emit_fields:
+        ship = xp.zeros((B, 0), dtype=xp.uint8)
+        all_in_range = xp.all(lpc_in_range).astype(xp.int8)
+        meta = xp.concatenate(
+            [
+                sel_idx.astype(xp.int8)[:, None],
+                best_p.astype(xp.int8)[:, None],
+                xp.broadcast_to(all_in_range, (B,))[:, None],
+                sel_modes.astype(xp.int8),
+                sel_ks.astype(xp.int8),
+            ],
+            axis=-1,
+        )
+        return {"ship": ship, "meta": meta}
+
     is_bin = mode_smp == C.MODE_BIN
     is_zr = mode_smp == C.MODE_ZERO_RUN
     absv = xp.abs(v_w.astype(xp.int64))
@@ -396,12 +414,15 @@ def _np_setcol(a, col, vals):
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_plan(n, zero_run_enabled, partitioning_enabled):
+def _jitted_plan(n, zero_run_enabled, partitioning_enabled, emit_fields=True):
     import jax
     import jax.numpy as jnp
 
     def f(pcm, lpc_coeffs, lpc_valid):
-        return plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, jnp)
+        return plan_group(
+            pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, jnp,
+            emit_fields=emit_fields,
+        )
 
     return jax.jit(f)
 
@@ -456,12 +477,16 @@ class _GroupJob:
                 pass
 
     def dispatch_plan(self):
+        from .runtime.native import native_available
+
         enc = self.enc
         B, n = self.B, self.n
+        self.replay = native_available()
         if not self.is_jax:
             coeffs, used, lvalid, mvo = enc._lpc_analysis(self.pcm_np, n)
             plan = plan_group(
-                self.pcm_np, coeffs, lvalid, n, enc.zero_run_enabled, enc.partitioning_enabled, np
+                self.pcm_np, coeffs, lvalid, n, enc.zero_run_enabled, enc.partitioning_enabled,
+                np, emit_fields=not self.replay,
             )
             self._result = (np.asarray(plan["ship"]), np.asarray(plan["meta"]), coeffs, used, mvo)
             return
@@ -472,22 +497,70 @@ class _GroupJob:
         coeffs_pad[:, :B] = coeffs
         lvalid_pad = np.zeros((lvalid.shape[0], self.Bp), bool)
         lvalid_pad[:, :B] = lvalid
-        self.fut = _jitted_plan(n, enc.zero_run_enabled, enc.partitioning_enabled)(
+        self.fut = _jitted_plan(n, enc.zero_run_enabled, enc.partitioning_enabled, not self.replay)(
             self.pcm_dev, enc.xp.asarray(coeffs_pad), enc.xp.asarray(lvalid_pad)
         )
-        for key in ("ship", "meta"):
+        keys = ("meta",) if self.replay else ("ship", "meta")
+        for key in keys:
             try:
                 self.fut[key].copy_to_host_async()
             except AttributeError:
                 pass
 
+    def _finish_replay(self, meta, coeffs, used, mvo):
+        """Native plan replay: expand metadata to per-lane plan arrays
+        and emit the wire payloads in one C++ pass."""
+        from .runtime.native import emit_blocks_native
+
+        enc, B, n = self.enc, self.B, self.n
+        sel = meta[:, 0].astype(np.int32)
+        best_p = meta[:, 1].astype(np.int32)
+        if meta[0, 2] == 0:
+            raise NotImplementedError(
+                "LPC residual overflow fallback ladder hit — input outside validated PCM domain"
+            )
+        max_p0 = (
+            max_partition_order_for_block(n)
+            if (enc.partitioning_enabled and n >= C.MIN_PARTITION_SIZE)
+            else 0
+        )
+        max_parts = 1 << max_p0
+        modes = np.zeros((B, 256), np.uint8)
+        ks = np.zeros((B, 256), np.uint8)
+        modes[:, :max_parts] = meta[:, 3 : 3 + max_parts]
+        ks[:, :max_parts] = meta[:, 3 + max_parts : 3 + 2 * max_parts]
+
+        pt_tab = np.asarray([t for t, _ in _CANDIDATES], np.uint8)
+        op_tab = np.asarray([o for _, o in _CANDIDATES], np.uint8)
+        ptype = pt_tab[sel]
+        order = op_tab[sel].astype(np.int32)
+        lanes = np.arange(B)
+        lpc_mask = sel >= _LPC_BASE
+        li = np.clip(sel - _LPC_BASE, 0, len(C.LPC_ORDER_CANDIDATES) - 1)
+        used_sel = used[li, lanes]
+        order = np.where(lpc_mask, np.clip(used_sel, 1, mvo), order).astype(np.uint8)
+        coeffs_lane = np.zeros((B, 33), np.int16)
+        coeffs_lane[:, :13] = np.where(lpc_mask[:, None], coeffs[li, lanes, :], np.int16(0))
+
+        payloads = emit_blocks_native(
+            self.pcm_np, ptype, order, coeffs_lane, best_p.astype(np.uint8), modes, ks,
+            enc.thread_count if hasattr(enc, "thread_count") else 0,
+        )
+        if payloads is None:  # native vanished mid-flight: no replay data
+            raise RuntimeError("native emitter unavailable")
+        return payloads
+
     def finish(self):
         enc = self.enc
         if not self.is_jax:
             ship, meta, coeffs, used, mvo = self._result
+            if self.replay:
+                return self._finish_replay(meta, coeffs, used, mvo)
             return enc._emit(ship, meta, coeffs, used, mvo, self.B, self.n)
-        ship = np.asarray(self.fut["ship"])[: self.B]
         meta = np.asarray(self.fut["meta"])[: self.B]
+        if self.replay:
+            return self._finish_replay(meta, self.coeffs, self.used, self.mvo)
+        ship = np.asarray(self.fut["ship"])[: self.B]
         return enc._emit(ship, meta, self.coeffs, self.used, self.mvo, self.B, self.n)
 
 

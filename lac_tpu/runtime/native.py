@@ -72,6 +72,12 @@ def get_native():
         lib.lac_pack_stream.restype = ctypes.c_uint64
         lib.lac_pack_stream.argtypes = [u64p, u64p, u8p, ctypes.c_uint64, u8p, ctypes.c_uint64]
         i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.lac_emit_blocks.restype = ctypes.c_int
+        lib.lac_emit_blocks.argtypes = [
+            i32p, ctypes.c_uint32, ctypes.c_uint32,
+            u8p, u8p, i16p, u8p, u8p, u8p,
+            u8p, ctypes.c_uint64, u64p, ctypes.c_int32,
+        ]
         lib.lac_tokenize_v3_blocks.restype = ctypes.c_int
         lib.lac_tokenize_v3_blocks.argtypes = [
             u8p, u64p, u64p, u32p, u64p,
@@ -150,6 +156,41 @@ def pack_streams_native(unary, field_val, field_len, elem_offsets, num_threads=0
     )
     raw = out.tobytes()
     return [raw[int(out_offsets[i]) : int(out_offsets[i + 1])] for i in range(S)]
+
+
+def emit_blocks_native(pcm, ptype, order, coeffs, best_p, modes, ks, num_threads=0):
+    """Replay a chosen encode plan to per-lane wire payloads.
+
+    ``pcm``: (B, n) int32; plan arrays as produced by the planner (modes
+    and ks padded to 256 columns). Returns list of payload bytes or None
+    when the native library is unavailable.
+    """
+    lib = get_native()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(pcm, dtype=np.int32)
+    B, n = pcm.shape
+    ptype = np.ascontiguousarray(ptype, dtype=np.uint8)
+    order = np.ascontiguousarray(order, dtype=np.uint8)
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int16)
+    best_p = np.ascontiguousarray(best_p, dtype=np.uint8)
+    modes = np.ascontiguousarray(modes, dtype=np.uint8)
+    ks = np.ascontiguousarray(ks, dtype=np.uint8)
+    lane_cap = n * 6 + 4096
+    while True:
+        out = np.zeros((B, lane_cap), dtype=np.uint8)
+        sizes = np.zeros(B, dtype=np.uint64)
+        status = lib.lac_emit_blocks(
+            _ptr(pcm, ctypes.c_int32), B, n,
+            _ptr(ptype, ctypes.c_uint8), _ptr(order, ctypes.c_uint8), _ptr(coeffs, ctypes.c_int16),
+            _ptr(best_p, ctypes.c_uint8), _ptr(modes, ctypes.c_uint8), _ptr(ks, ctypes.c_uint8),
+            _ptr(out, ctypes.c_uint8), lane_cap, _ptr(sizes, ctypes.c_uint64), num_threads,
+        )
+        if status == 0:
+            return [out[b, : int(sizes[b])].tobytes() for b in range(B)]
+        lane_cap *= 4  # pathological unary runs: retry with more room
+        if lane_cap > (1 << 31):
+            return None
 
 
 def tokenize_v3_blocks_native(payload, payload_offsets, payload_sizes, block_sizes,

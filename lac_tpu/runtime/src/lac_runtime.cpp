@@ -674,6 +674,252 @@ int lac_tokenize_v3_blocks(const uint8_t* payload,
   return status.load();
 }
 
+// --------------------------------------------------------- plan replay
+
+namespace {
+
+struct BitSink {
+  uint8_t* out;
+  uint64_t cap;
+  uint64_t nout = 0;
+  uint64_t acc = 0;
+  int nacc = 0;
+  bool overflow = false;
+
+  inline void flush() {
+    while (nacc >= 8) {
+      nacc -= 8;
+      if (nout < cap) out[nout] = static_cast<uint8_t>((acc >> nacc) & 0xFFu);
+      else overflow = true;
+      ++nout;
+    }
+    acc &= (nacc == 0) ? 0 : ((1ULL << nacc) - 1);
+  }
+  inline void bits(uint64_t v, int nb) {
+    if (nb <= 0) return;
+    acc = (acc << nb) | (v & ((nb >= 64) ? ~0ULL : ((1ULL << nb) - 1)));
+    nacc += nb;
+    flush();
+  }
+  inline void ones(uint64_t count) {
+    while (count > 0) {
+      const int chunk = count > 32 ? 32 : static_cast<int>(count);
+      bits((1ULL << chunk) - 1, chunk);
+      count -= static_cast<uint64_t>(chunk);
+    }
+  }
+  inline void pad_to_byte() {
+    if (nacc > 0) {
+      if (nout < cap) out[nout] = static_cast<uint8_t>((acc << (8 - nacc)) & 0xFFu);
+      else overflow = true;
+      ++nout;
+      acc = 0;
+      nacc = 0;
+    }
+  }
+};
+
+inline uint32_t zigzag_u(int32_t v) {
+  return (static_cast<uint32_t>(v) << 1) ^ static_cast<uint32_t>(v >> 31);
+}
+
+inline void rice_emit(BitSink& w, uint32_t u, uint32_t k) {
+  const uint32_t q = (k >= 32u) ? 0u : (u >> k);
+  w.ones(q);
+  w.bits(0, 1);
+  if (k > 0) w.bits(u & ((1u << k) - 1u), static_cast<int>(k));
+}
+
+// open-loop residual of the chosen predictor (encoder side)
+void compute_residual(const int32_t* x, uint32_t n, uint32_t ptype, uint32_t order,
+                      const int16_t* coeffs, int32_t* res) {
+  if (ptype == 0) {  // fixed
+    for (uint32_t i = 0; i < order && i < n; ++i) res[i] = x[i];
+    switch (order) {
+      case 0:
+        for (uint32_t i = 0; i < n; ++i) res[i] = x[i];
+        break;
+      case 1:
+        for (uint32_t i = 1; i < n; ++i) res[i] = static_cast<int32_t>(x[i] - static_cast<int64_t>(x[i - 1]));
+        break;
+      case 2:
+        for (uint32_t i = 2; i < n; ++i) res[i] = static_cast<int32_t>(x[i] - (2LL * x[i - 1] - x[i - 2]));
+        break;
+      case 3:
+        for (uint32_t i = 3; i < n; ++i) res[i] = static_cast<int32_t>(x[i] - (3LL * x[i - 1] - 3LL * x[i - 2] + x[i - 3]));
+        break;
+      default:
+        for (uint32_t i = 4; i < n; ++i) res[i] = static_cast<int32_t>(x[i] - (4LL * x[i - 1] - 6LL * x[i - 2] + 4LL * x[i - 3] - x[i - 4]));
+        break;
+    }
+  } else if (ptype == 1) {  // FIR {3,-1} >> 2
+    for (uint32_t i = 0; i < 2 && i < n; ++i) res[i] = x[i];
+    for (uint32_t i = 2; i < n; ++i) {
+      const int64_t pred = (3LL * x[i - 1] - x[i - 2]) >> 2;
+      res[i] = static_cast<int32_t>(x[i] - pred);
+    }
+  } else {  // LPC open loop, warmup taps limited by index
+    for (uint32_t i = 0; i < n; ++i) {
+      const uint32_t taps = i < order ? i : order;
+      int64_t acc = 0;
+      for (uint32_t j = 1; j <= taps; ++j) acc += static_cast<int64_t>(coeffs[j]) * x[i - j];
+      res[i] = static_cast<int32_t>(x[i] - (acc >> 15));
+    }
+  }
+}
+
+// emit one residual partition in the given mode (encoder.cpp:585-771)
+void emit_partition(BitSink& w, const int32_t* res, uint32_t len, uint32_t mode,
+                    uint32_t initial_k, bool stateless) {
+  uint32_t k = initial_k;
+  uint64_t sum = 0;
+  uint32_t count = 0;
+  AdaptK st;
+  auto step = [&](uint32_t u) {
+    sum += u;
+    ++count;
+    k = stateless ? adapt_stateless(sum, count) : adapt_stateful(st, sum, count);
+  };
+  if (mode == 0) {
+    for (uint32_t i = 0; i < len; ++i) {
+      const uint32_t u = zigzag_u(res[i]);
+      rice_emit(w, u, k);
+      step(u);
+    }
+  } else if (mode == 1) {  // zero-run
+    uint32_t i = 0;
+    while (i < len) {
+      uint32_t run = 0;
+      while (i + run < len && res[i + run] == 0) ++run;
+      if (run >= kZrMinRun) {
+        w.bits(0b01, 2);
+        rice_emit(w, run - kZrMinRun, kZrLenK);
+        if (stateless) {
+          count += run;
+          k = adapt_stateless(sum, count);
+        } else {
+          for (uint32_t j = 0; j < run; ++j) {
+            ++count;
+            k = adapt_stateful(st, sum, count);
+          }
+        }
+        i += run;
+        continue;
+      }
+      const uint32_t u = zigzag_u(res[i]);
+      const uint32_t esc_shift = (k + 3u > 24u) ? 24u : k + 3u;
+      if (u > (1u << esc_shift)) {
+        w.bits(0b10, 2);
+        w.bits(u, 32);
+      } else {
+        w.bits(0b00, 2);
+        rice_emit(w, u, k);
+      }
+      step(u);
+      ++i;
+    }
+  } else if (mode == 2) {  // bin
+    for (uint32_t i = 0; i < len; ++i) {
+      const int32_t v = res[i];
+      const uint32_t u = zigzag_u(v);
+      if (v == 0) {
+        w.bits(0b00, 2);
+      } else if (v == 1 || v == -1) {
+        w.bits(0b01, 2);
+        w.bits(v < 0 ? 1 : 0, 1);
+      } else if (v == 2 || v == -2) {
+        w.bits(0b10, 2);
+        w.bits(v < 0 ? 1 : 0, 1);
+      } else {
+        w.bits(0b11, 2);
+        rice_emit(w, u, k);
+      }
+      step(u);
+    }
+  } else {  // static rice
+    for (uint32_t i = 0; i < len; ++i) rice_emit(w, zigzag_u(res[i]), initial_k);
+  }
+}
+
+}  // namespace
+
+// replay a chosen encode plan: per lane, compute the winning predictor's
+// residual and serially emit the exact wire payload. The device performs
+// the candidate/mode/partition *search*; this performs the inherently
+// bit-serial *emission* (one pass, thread-parallel over lanes).
+// returns 0, or -(lane+1) if a lane overflowed its output slot.
+int lac_emit_blocks(const int32_t* pcm,  // (B, n) row-major
+                    uint32_t B,
+                    uint32_t n,
+                    const uint8_t* ptype,    // (B)
+                    const uint8_t* order,    // (B) chosen wire order
+                    const int16_t* coeffs,   // (B, 33)
+                    const uint8_t* best_p,   // (B)
+                    const uint8_t* modes,    // (B, 256)
+                    const uint8_t* ks,       // (B, 256)
+                    uint8_t* out,            // (B, lane_cap)
+                    uint64_t lane_cap,
+                    uint64_t* out_sizes,     // (B)
+                    int32_t num_threads) {
+  std::atomic<uint32_t> next{0};
+  std::atomic<int> status{0};
+  auto worker = [&]() {
+    std::vector<int32_t> res(n);
+    while (status.load(std::memory_order_relaxed) == 0) {
+      const uint32_t b = next.fetch_add(1, std::memory_order_relaxed);
+      if (b >= B) return;
+      compute_residual(pcm + static_cast<uint64_t>(b) * n, n, ptype[b], order[b],
+                       coeffs + static_cast<uint64_t>(b) * 33, res.data());
+      BitSink w{out + static_cast<uint64_t>(b) * lane_cap, lane_cap};
+      w.bits(ptype[b], 8);
+      w.bits(order[b], 8);
+      if (ptype[b] == 2) {
+        for (uint32_t j = 1; j <= order[b]; ++j) {
+          w.bits(static_cast<uint16_t>(coeffs[static_cast<uint64_t>(b) * 33 + j]), 16);
+        }
+      }
+      const uint32_t p = best_p[b];
+      const uint32_t nparts = p == 0 ? 1u : (1u << p);
+      uint32_t control = (modes[static_cast<uint64_t>(b) * 256] & 3u) << 5;
+      if (p > 0) control |= 0x80u | p;
+      w.bits(control, 8);
+      for (uint32_t i = 0; i < nparts; ++i) {
+        w.bits(modes[static_cast<uint64_t>(b) * 256 + i] & 3u, 2);
+        w.bits(ks[static_cast<uint64_t>(b) * 256 + i] & 31u, 5);
+      }
+      const uint32_t base = p == 0 ? n : (n >> p);
+      uint32_t off = 0;
+      for (uint32_t i = 0; i < nparts; ++i) {
+        const uint32_t len = (i + 1 == nparts) ? n - off : base;
+        emit_partition(w, res.data() + off, len,
+                       modes[static_cast<uint64_t>(b) * 256 + i] & 3u,
+                       ks[static_cast<uint64_t>(b) * 256 + i] & 31u, p > 0);
+        off += len;
+      }
+      w.pad_to_byte();
+      if (w.overflow) {
+        int expect = 0;
+        status.compare_exchange_strong(expect, -static_cast<int>(b) - 1);
+        return;
+      }
+      out_sizes[b] = w.nout;
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (num_threads > 0 && static_cast<unsigned>(num_threads) < hw) hw = static_cast<unsigned>(num_threads);
+  if (hw > B) hw = B;
+  if (hw <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(hw);
+    for (unsigned i = 0; i < hw; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return status.load();
+}
+
 // ------------------------------------------------------ multi-stream pack
 
 namespace {
