@@ -50,7 +50,7 @@ def make_corpus():
     return left, right
 
 
-def bench_ours(left, right, repeats=3):
+def bench_ours(left, right, repeats=4):
     from lac_tpu.encoder import FrameEncoder
 
     try:
@@ -60,12 +60,23 @@ def bench_ours(left, right, repeats=3):
     except Exception:
         xp = np
     enc = FrameEncoder(12, 2, SR, 16, xp=xp)
-    bitstream = enc.encode(left, right)  # warmup (compilation)
+
+    def variant(i):
+        # each timed run gets fresh content: the TPU terminal memoizes
+        # identical-input executions, which would fake the timing
+        lp = left.copy()
+        lp[:: FRAMES // 97] = np.clip(lp[:: FRAMES // 97] + i + 1, -32768, 32767)
+        return lp
+
+    enc.encode(left, right)  # warmup (compilation)
+    enc.encode(variant(100), right)  # warm content-dependent executables
     best = float("inf")
-    for _ in range(repeats):
+    for i in range(repeats):
+        lp = variant(i)
         t0 = time.perf_counter()
-        bitstream = enc.encode(left, right)
+        enc.encode(lp, right)
         best = min(best, time.perf_counter() - t0)
+    bitstream = enc.encode(left, right)  # parity-gated stream
     return bitstream, FRAMES / best
 
 

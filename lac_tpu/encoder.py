@@ -603,10 +603,14 @@ class ChannelBlockEncoder:
             valid[li] = stable
         return coeffs, used, valid, max_valid_order
 
-    # device batch bucket: groups are padded up to the next power of two
-    # (and chunked above the cap) so XLA compiles one executable per
-    # (block length, bucket) pair instead of one per exact batch size.
-    MAX_DEVICE_BATCH = 128
+    # device batch buckets: groups are padded up to the next power of two
+    # (and chunked above a ~2M-element cap) so XLA compiles one
+    # executable per (block length, bucket) pair.
+    MAX_DEVICE_ELEMS = 128 * 16384
+
+    def _batch_cap(self, n):
+        cap = max(1, self.MAX_DEVICE_ELEMS // max(n, 1))
+        return min(1 << (cap.bit_length() - 1), 1024)
 
     def encode_group(self, pcm):
         """Encode a (B, n) int32 group; returns list of payload bytes."""
@@ -615,8 +619,8 @@ class ChannelBlockEncoder:
     def make_jobs(self, pcm):
         """Split a group into device-batch jobs (see _GroupJob phases)."""
         pcm_np = np.ascontiguousarray(pcm, dtype=np.int32)
-        B, _ = pcm_np.shape
-        step = self.MAX_DEVICE_BATCH if is_jax(self.xp) else B
+        B, n = pcm_np.shape
+        step = self._batch_cap(n) if is_jax(self.xp) else B
         return [
             _GroupJob(self, pcm_np[lo : lo + step])
             for lo in range(0, max(B, 1), max(step, 1))

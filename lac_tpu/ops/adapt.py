@@ -64,7 +64,12 @@ def k_after_stateful(u, xp=np, recip_table=None):
     one = xp.uint64(1)
     u = u.astype(xp.uint64)
     L = u.shape[-1]
-    s = xp.cumsum(u, axis=-1)
+    # prefix sums via 16-bit-split u32 cumsums (emulated u64 cumsum is
+    # ~5x slower on TPU); the u64 reconstruction is one elementwise op.
+    u32v = u.astype(xp.uint32)
+    cs_hi = xp.cumsum(u32v >> xp.uint32(16), axis=-1)
+    cs_lo = xp.cumsum(u32v & xp.uint32(0xFFFF), axis=-1)
+    s = (cs_hi.astype(xp.uint64) << xp.uint64(16)) + cs_lo.astype(xp.uint64)
     idx = xp.arange(L, dtype=xp.int64)
     count = (idx + 1).astype(xp.uint64)
     if recip_table is None:
@@ -99,14 +104,14 @@ def k_after_stateful(u, xp=np, recip_table=None):
 
     # micro window: quotient-distribution counters over the last 96 samples
     q_base = xp.where(k_base >= xp.int32(C.MAX_RICE_K), xp.uint64(0), u >> k_base.astype(xp.uint64))
-    is_large = (q_base > three).astype(xp.int64)
-    is_zero = (q_base == xp.uint64(0)).astype(xp.int64)
+    is_large = (q_base > three).astype(xp.int32)
+    is_zero = (q_base == xp.uint64(0)).astype(xp.int32)
     cl = xp.cumsum(is_large, axis=-1)
     cz = xp.cumsum(is_zero, axis=-1)
     large_cnt = cl - shift_right(cl, C.MICRO_WINDOW, xp=xp)
     zero_cnt = cz - shift_right(cz, C.MICRO_WINDOW, xp=xp)
     trigger = count >= xp.uint64(C.MICRO_WINDOW)
-    wsize = xp.minimum(idx + 1, xp.int64(C.MICRO_WINDOW))
+    wsize = xp.minimum(idx + 1, xp.int64(C.MICRO_WINDOW)).astype(xp.int32)
     cond_large = large_cnt * 4 >= wsize * 3
     cond_zero = zero_cnt * 5 >= wsize * 4
     bias = xp.where(

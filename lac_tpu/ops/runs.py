@@ -23,12 +23,13 @@ def zero_breaks(z, xp=np):
     Returns (last_nz, next_nz): for each position, the index of the
     nearest non-zero sample at-or-before / at-or-after it (sentinels
     -L-2 / L+2 outside). Partition clamps are applied separately, so one
-    pass serves every partition order.
+    pass serves every partition order. int32 throughout — 64-bit cummax
+    is emulated on TPU.
     """
     L = z.shape[-1]
-    idx = xp.arange(L, dtype=xp.int64)
-    last_nz = cummax(xp.where(~z, idx, xp.int64(-L - 2)), xp=xp)
-    next_nz = cummin_reverse(xp.where(~z, idx, xp.int64(L + 2)), xp=xp)
+    idx = xp.arange(L, dtype=xp.int32)
+    last_nz = cummax(xp.where(~z, idx, xp.int32(-L - 2)), xp=xp)
+    next_nz = cummin_reverse(xp.where(~z, idx, xp.int32(L + 2)), xp=xp)
     return last_nz, next_nz
 
 
@@ -40,11 +41,11 @@ def run_geometry(z, last_nz, next_nz, pos_in_seg, seg_end_exclusive, xp=np):
     a run token, and run-token start positions.
     """
     L = z.shape[-1]
-    idx = xp.arange(L, dtype=xp.int64)
-    seg_start = idx - pos_in_seg
-    run_first = xp.maximum(last_nz + 1, seg_start)
-    next_break = xp.minimum(next_nz, seg_end_exclusive)
-    run_len = xp.where(z, next_break - run_first, xp.int64(0))
+    idx = xp.arange(L, dtype=xp.int32)
+    seg_start = idx - xp.asarray(pos_in_seg).astype(xp.int32)
+    run_first = xp.maximum(last_nz + xp.int32(1), seg_start)
+    next_break = xp.minimum(next_nz, xp.asarray(seg_end_exclusive).astype(xp.int32))
+    run_len = xp.where(z, next_break - run_first, xp.int32(0))
     long_run = z & (run_len >= C.ZERO_RUN_MIN_LENGTH)
     run_start = long_run & (idx == run_first)
     return run_len, long_run, run_start
