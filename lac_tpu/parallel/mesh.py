@@ -38,23 +38,27 @@ def _sharded_plan_fn(mesh, n, zero_run_enabled, partitioning_enabled):
     def local(pcm, lpc_coeffs, lpc_valid):
         plan = plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, jnp)
         # aggregate stat across chips (exercises an ICI collective;
-        # correctness never depends on it)
-        local_bits = jnp.sum(plan["head_len"] + plan["unary"] + plan["tail_len"])
+        # correctness never depends on it): total unary+field bits of
+        # the compact ship buffer's token payloads
+        shipv = plan["ship"].reshape(pcm.shape[0], n, 6)
+        k = shipv[..., 5].astype(jnp.uint32)
+        payload = (
+            shipv[..., 0].astype(jnp.uint32)
+            | (shipv[..., 1].astype(jnp.uint32) << jnp.uint32(8))
+            | (shipv[..., 2].astype(jnp.uint32) << jnp.uint32(16))
+            | (shipv[..., 3].astype(jnp.uint32) << jnp.uint32(24))
+        )
+        cls = shipv[..., 4] & jnp.uint8(7)
+        rice_like = cls == 0
+        approx = jnp.where(rice_like, (payload >> k) + k + jnp.uint32(1), jnp.uint32(2))
+        local_bits = jnp.sum(approx.astype(jnp.uint64))
         plan["total_token_bits"] = jax.lax.psum(local_bits, BLOCK_AXIS)
         return plan
 
     in_specs = (P(BLOCK_AXIS), P(None, BLOCK_AXIS), P(None, BLOCK_AXIS))
     out_specs = {
-        "sel_idx": P(BLOCK_AXIS),
-        "best_p": P(BLOCK_AXIS),
-        "sel_modes": P(BLOCK_AXIS),
-        "sel_ks": P(BLOCK_AXIS),
-        "lpc_in_range": P(None, BLOCK_AXIS),
-        "head_val": P(BLOCK_AXIS),
-        "head_len": P(BLOCK_AXIS),
-        "unary": P(BLOCK_AXIS),
-        "tail_val": P(BLOCK_AXIS),
-        "tail_len": P(BLOCK_AXIS),
+        "ship": P(BLOCK_AXIS),
+        "meta": P(BLOCK_AXIS),
         "total_token_bits": P(),
     }
     fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)

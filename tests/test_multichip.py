@@ -1,0 +1,69 @@
+"""Sharded plan + driver entry points on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+needs_devices = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@needs_devices
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles_and_runs():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out["ship"])
+    assert out["ship"].shape[0] == args[0].shape[0]
+
+
+@needs_devices
+def test_sharded_plan_matches_single_device():
+    import jax.numpy as jnp
+
+    from lac_tpu.encoder import plan_group
+    from lac_tpu.parallel import make_mesh, plan_group_sharded
+
+    B, n = 16, 512
+    rng = np.random.RandomState(3)
+    pcm = rng.randint(-20000, 20000, (B, n)).astype(np.int32)
+    coeffs = np.zeros((5, B, 13), np.int16)
+    coeffs[:, :, 1] = 15000
+    valid = np.ones((5, B), bool)
+
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = plan_group_sharded(mesh, pcm, coeffs, valid, n)
+    single = plan_group(pcm, coeffs, valid, n, True, True, jnp)
+    np.testing.assert_array_equal(np.asarray(sharded["ship"]), np.asarray(single["ship"]))
+    np.testing.assert_array_equal(np.asarray(sharded["meta"]), np.asarray(single["meta"]))
+
+
+def test_thread_count_invariance():
+    """Worker caps must not change any byte (decode + emit pools)."""
+    from lac_tpu.decoder import FrameDecoder
+    from lac_tpu.encoder import FrameEncoder
+
+    from .signals import lcg_noise
+
+    l = lcg_noise(40000, 20000, 1)
+    r = lcg_noise(40000, 20000, 2)
+    enc = FrameEncoder(12, 2, 44100, 16)
+    enc.set_thread_count(1)
+    bs1 = enc.encode(l, r)
+    enc.set_thread_count(8)
+    bs8 = enc.encode(l, r)
+    assert bs1 == bs8
+    for tc in (1, 2, 8):
+        dec = FrameDecoder()
+        dec.set_thread_count(tc)
+        dl, dr, _ = dec.decode(bs1)
+        np.testing.assert_array_equal(dl, l)
+        np.testing.assert_array_equal(dr, r)
