@@ -39,6 +39,45 @@ def _resolve_threads(explicit: int) -> int:
     return parse_thread_limit(os.environ.get("LAC_THREADS"))
 
 
+def _encoder_xp():
+    """Pick the compute backend: the device planner when an accelerator
+    is the default JAX backend (odd-length blocks still take the host
+    path — see encoder._GroupJob), else numpy. LAC_TPU_BACKEND=numpy|jax
+    overrides."""
+    forced = os.environ.get("LAC_TPU_BACKEND")
+    if forced == "numpy":
+        import numpy
+
+        return numpy
+    if forced == "jax":
+        import jax.numpy as jnp
+
+        return jnp
+    # decide from the environment without initializing a JAX backend
+    # (backend init costs seconds per process)
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and "cpu" in platforms.split(","):
+        import numpy
+
+        return numpy
+    if platforms:  # an accelerator platform is explicitly requested
+        import jax.numpy as jnp
+
+        return jnp
+    try:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            import jax.numpy as jnp
+
+            return jnp
+    except Exception:
+        pass
+    import numpy
+
+    return numpy
+
+
 def _load_file(path: str):
     try:
         size = os.path.getsize(path)
@@ -93,12 +132,13 @@ def _cmd_encode(argv) -> int:
         return 1
     left, right, channels, sample_rate, bit_depth = wav
     effective_mode = 0 if channels == 1 else stereo_mode
-    encoder = FrameEncoder(12, effective_mode, sample_rate, bit_depth)
+    xp = _encoder_xp()
+    encoder = FrameEncoder(12, effective_mode, sample_rate, bit_depth, xp=xp)
     encoder.set_partitioning_enabled(partitioning)
     encoder.set_thread_count(thread_count)
     bitstream = encoder.encode(left, right)
     if debug_zr:
-        baseline = FrameEncoder(12, effective_mode, sample_rate, bit_depth)
+        baseline = FrameEncoder(12, effective_mode, sample_rate, bit_depth, xp=xp)
         baseline.set_zero_run_enabled(False)
         baseline.set_partitioning_enabled(partitioning)
         baseline.set_thread_count(thread_count)

@@ -73,6 +73,9 @@ def decode_v3_device(hdr, block_sizes, payload_sizes, block_payload, total_sampl
     """Device-batched v3 decode. Returns (left, right) int32 arrays or
     raises ValueError (bad block index in the message)."""
     if xp is None:
+        from . import configure_jax
+
+        configure_jax()
         import jax.numpy as jnp
 
         xp = jnp

@@ -449,11 +449,20 @@ class _GroupJob:
     3. ``finish`` — expand token fields and pack payload bytes.
     """
 
+    # device-path shapes: the two fixed hot shapes compile once and are
+    # persistently cached; odd lengths (final file blocks, small dual
+    # encodes) take the numpy planner + native replay, avoiding a fresh
+    # ~minutes XLA compile per novel tail length.
+    _HOT_SHAPES = (C.MAX_BLOCK_SIZE, C.STEREO_PROBE_SIZE)
+    _MIN_DEVICE_ELEMS = 1 << 22
+
     def __init__(self, enc, pcm_np):
         self.enc = enc
         self.pcm_np = pcm_np
         self.B, self.n = pcm_np.shape
-        self.is_jax = is_jax(enc.xp)
+        self.is_jax = is_jax(enc.xp) and (
+            self.n in self._HOT_SHAPES or self.B * self.n >= self._MIN_DEVICE_ELEMS
+        )
 
     def dispatch_autocorr(self):
         if not self.is_jax:
@@ -571,6 +580,10 @@ class ChannelBlockEncoder:
         self.zero_run_enabled = bool(zero_run_enabled)
         self.partitioning_enabled = bool(partitioning_enabled)
         self.xp = xp
+        if is_jax(xp):
+            from . import configure_jax
+
+            configure_jax()
 
     def _lpc_analysis(self, pcm_np, n, precomputed_R=None):
         """Autocorrelation (device or host) + host 80-bit LD -> candidate
@@ -609,8 +622,11 @@ class ChannelBlockEncoder:
     MAX_DEVICE_ELEMS = 128 * 16384
 
     def _batch_cap(self, n):
-        cap = max(1, self.MAX_DEVICE_ELEMS // max(n, 1))
-        return min(1 << (cap.bit_length() - 1), 1024)
+        if is_jax(self.xp):
+            cap = max(1, self.MAX_DEVICE_ELEMS // max(n, 1))
+            return min(1 << (cap.bit_length() - 1), 1024)
+        # host path: keep the (B, 11, n) uint64 working set cache-friendly
+        return max(1, (self.MAX_DEVICE_ELEMS // 8) // max(n, 1))
 
     def encode_group(self, pcm):
         """Encode a (B, n) int32 group; returns list of payload bytes."""
@@ -620,7 +636,7 @@ class ChannelBlockEncoder:
         """Split a group into device-batch jobs (see _GroupJob phases)."""
         pcm_np = np.ascontiguousarray(pcm, dtype=np.int32)
         B, n = pcm_np.shape
-        step = self._batch_cap(n) if is_jax(self.xp) else B
+        step = self._batch_cap(n)
         return [
             _GroupJob(self, pcm_np[lo : lo + step])
             for lo in range(0, max(B, 1), max(step, 1))

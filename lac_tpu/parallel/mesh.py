@@ -16,6 +16,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from .. import configure_jax
+
+configure_jax()
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..encoder import plan_group
