@@ -82,6 +82,11 @@ def _mode_cost_fields(v, u, k_used, run_len, long_run, run_start, xp):
     return rice_per, bin_per, zr_per
 
 
+import os as _os
+
+_USE_PALLAS_KCOSTS = _os.environ.get("LAC_TPU_PALLAS") == "1"
+
+
 def _k_costs_stack(u, k_max, xp, count=None):
     """Rice-cost sums for k in [0, k_max]: (..., k_max+1) uint64.
 
@@ -90,9 +95,26 @@ def _k_costs_stack(u, k_max, xp, count=None):
     in native uint32 (partial sums <= 2^30 for <= 16384 samples of
     16-bit halves) and only the tiny per-(lane, k) combination uses
     64-bit math. Emulated u64 reductions are ~5x slower on TPU.
+
+    With LAC_TPU_PALLAS=1 the 17 shift+reduce passes fuse into one
+    Pallas kernel pass (ops/pallas_kernels.py); kept opt-in because the
+    current axon Mosaic toolchain cannot compile gridded kernels and
+    the grid-less fallback pays heavy per-call overhead.
     """
     assert k_max <= 16
     nsamp = u.shape[-1] if count is None else count
+    karr = xp.asarray(np.arange(k_max + 1, dtype=np.uint64))
+    if _USE_PALLAS_KCOSTS and is_jax(xp):
+        from .ops import pallas_kernels as _pk
+
+        lead = u.shape[:-1]
+        rows = int(np.prod(lead))
+        n = u.shape[-1]
+        if _pk.pallas_available() and _pk.supported_shape(rows, n):
+            sums = _pk.k_cost_sums(u.astype(xp.uint32).reshape(rows, n)).astype(xp.uint64)
+            sums = sums.reshape(lead + (17,))
+            shi, slo = sums[..., 0], sums[..., 1 : k_max + 2]
+            return (shi[..., None] << (xp.uint64(16) - karr)) + slo + (karr + xp.uint64(1)) * xp.uint64(nsamp)
     u32v = u.astype(xp.uint32)
     uhi = u32v >> xp.uint32(16)
     ulo = u32v & xp.uint32(0xFFFF)

@@ -1,0 +1,34 @@
+"""Pallas k-cost kernel parity (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from lac_tpu.ops import pallas_kernels as pk
+
+pytestmark = pytest.mark.skipif(not pk.pallas_available(), reason="pallas unavailable")
+
+
+def test_k_cost_sums_matches_reference_math():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, n = pk._CHUNK_ROWS, 1024
+    rng = np.random.RandomState(7)
+    u = rng.randint(0, 2**32, (rows, n), dtype=np.uint64).astype(np.uint32)
+
+    call = pl.pallas_call(
+        pk._kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=True,
+    )
+    got = np.asarray(call(jax.lax.bitcast_convert_type(jnp.asarray(u), "int32")))
+    got = got[:, :17].astype(np.int64) % (1 << 32)
+
+    hi = (u >> 16).astype(np.uint64)
+    lo = (u & 0xFFFF).astype(np.uint64)
+    want = np.stack([hi.sum(-1)] + [(lo >> k).sum(-1) for k in range(16)], axis=-1)
+    np.testing.assert_array_equal(got, want.astype(np.int64))
