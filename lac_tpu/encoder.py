@@ -884,6 +884,7 @@ class FrameEncoder:
 
         probe_lanes = []  # (block_idx, variant, data) for uncertain big blocks
         dual_lanes = []  # (block_idx, variant, slot, data) for uncertain small blocks
+        spec_lanes = []  # (block_idx, variant, slot, data): speculative fulls
 
         if per_block:
             # proxy decision for every block: all full blocks in one
@@ -931,6 +932,15 @@ class FrameEncoder:
                             probe_lanes.append((bi, "lr", chd))
                         for slot, chd in enumerate(ms_channels(ps, C.STEREO_PROBE_SIZE)):
                             probe_lanes.append((bi, "ms", chd))
+                    # speculate both full variants in wave A: the probe
+                    # comparison only picks which payload to keep, and a
+                    # second device round trip costs more than the extra
+                    # lanes (the reference instead pays a second serial
+                    # CPU encode, lac/encoder.cpp:366-372)
+                    for slot, chd in enumerate(lr_channels(s, sz)):
+                        spec_lanes.append((bi, "lr", slot, chd))
+                    for slot, chd in enumerate(ms_channels(s, sz)):
+                        spec_lanes.append((bi, "ms", slot, chd))
                     deferred.append(bi)
 
         enc = ChannelBlockEncoder(self.zero_run_enabled, self.partitioning_enabled, xp=xp)
@@ -959,12 +969,20 @@ class FrameEncoder:
                     out[i] = pb
             return out
 
-        # wave A
-        wave_a = [d for d in lanes] + [d for (_, _, d) in probe_lanes] + [d for (_, _, _, d) in dual_lanes]
+        # single wave: certain lanes + probes + dual/speculative fulls
+        wave_a = (
+            [d for d in lanes]
+            + [d for (_, _, d) in probe_lanes]
+            + [d for (_, _, _, d) in dual_lanes]
+            + [d for (_, _, _, d) in spec_lanes]
+        )
         payloads_a = encode_lanes(wave_a)
         lane_payloads = payloads_a[: len(lanes)]
-        probe_payloads = payloads_a[len(lanes) : len(lanes) + len(probe_lanes)]
-        dual_payloads = payloads_a[len(lanes) + len(probe_lanes) :]
+        off = len(lanes)
+        probe_payloads = payloads_a[off : off + len(probe_lanes)]
+        off += len(probe_lanes)
+        dual_payloads = payloads_a[off : off + len(dual_lanes)]
+        spec_payloads = payloads_a[off + len(dual_lanes) :]
 
         # resolve uncertain-small blocks: full dual comparison by bytes
         block_channel_payloads = {}
@@ -985,23 +1003,19 @@ class FrameEncoder:
             for slot, pb in chosen.items():
                 block_channel_payloads[bi][slot] = pb
 
-        # resolve uncertain-big blocks: probe byte totals, then wave B
+        # resolve uncertain-big blocks: probe byte totals pick which
+        # speculated full payload to keep (the loser is discarded)
         probe_by_block = {}
         for (bi, variant, _), pb in zip(probe_lanes, probe_payloads):
             probe_by_block.setdefault(bi, {"lr": 0, "ms": 0})
             probe_by_block[bi][variant] += len(pb)
-        wave_b_data = []
-        wave_b_meta = []
+        spec_by_block = {}
+        for (bi, variant, slot, _), pb in zip(spec_lanes, spec_payloads):
+            spec_by_block.setdefault(bi, {}).setdefault(variant, {})[slot] = pb
         for bi in deferred:
             choose_ms = probe_by_block[bi]["ms"] < probe_by_block[bi]["lr"]
             block_flags[bi] = 1 if choose_ms else 0
-            s, sz = starts[bi], sizes[bi]
-            chans = ms_channels(s, sz) if choose_ms else lr_channels(s, sz)
-            for slot, chd in enumerate(chans):
-                wave_b_data.append(chd)
-                wave_b_meta.append((bi, slot))
-        if wave_b_data:
-            for (bi, slot), pb in zip(wave_b_meta, encode_lanes(wave_b_data)):
+            for slot, pb in spec_by_block[bi]["ms" if choose_ms else "lr"].items():
                 block_channel_payloads[bi][slot] = pb
 
         # ---------------- assembly
