@@ -88,13 +88,18 @@ def read_wav(path: str):
             frames = chunk_size // block_align
             if frames * channels * 4 > C.MAX_DECODED_PCM_BYTES:
                 return None
-            payload = np.frombuffer(data, dtype=np.uint8, count=chunk_size, offset=pos)
-            bps = bit_depth // 8
-            raw = payload.reshape(frames, channels, bps).astype(np.uint32)
-            acc = raw[..., 0]
-            for b in range(1, bps):
-                acc = acc | (raw[..., b] << np.uint32(8 * b))
-            samples = _sign_extend(acc, bit_depth)
+            if bit_depth == 16:
+                flat = np.frombuffer(data, dtype="<i2", count=frames * channels, offset=pos)
+                samples = flat.astype(np.int32).reshape(frames, channels)
+            else:  # 24-bit: combine little-endian byte triples
+                payload = np.frombuffer(data, dtype=np.uint8, count=chunk_size, offset=pos)
+                b3 = payload.reshape(-1, 3)
+                acc = (
+                    b3[:, 0].astype(np.uint32)
+                    | (b3[:, 1].astype(np.uint32) << np.uint32(8))
+                    | (b3[:, 2].astype(np.uint32) << np.uint32(16))
+                )
+                samples = _sign_extend(acc, 24).reshape(frames, channels)
             left = np.ascontiguousarray(samples[:, 0])
             right = np.ascontiguousarray(samples[:, 1]) if channels == 2 else np.empty(0, np.int32)
             got_data = True
@@ -109,14 +114,21 @@ def read_wav(path: str):
 
 def _pcm_bytes(left, right, channels, bit_depth) -> bytes:
     frames = len(left)
-    bps = bit_depth // 8
+    if bit_depth == 16:
+        inter = np.empty((frames, channels), dtype="<i2")
+        inter[:, 0] = np.asarray(left, dtype=np.int32).astype(np.int16)
+        if channels == 2:
+            inter[:, 1] = np.asarray(right, dtype=np.int32).astype(np.int16)
+        return inter.tobytes()
     inter = np.empty((frames, channels), dtype=np.uint32)
     inter[:, 0] = np.asarray(left, dtype=np.int32).view(np.uint32)
     if channels == 2:
         inter[:, 1] = np.asarray(right, dtype=np.int32).view(np.uint32)
-    out = np.empty((frames, channels, bps), dtype=np.uint8)
-    for b in range(bps):
-        out[..., b] = ((inter >> np.uint32(8 * b)) & np.uint32(0xFF)).astype(np.uint8)
+    flat = inter.reshape(-1)
+    out = np.empty((frames * channels, 3), dtype=np.uint8)
+    out[:, 0] = (flat & np.uint32(0xFF)).astype(np.uint8)
+    out[:, 1] = ((flat >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8)
+    out[:, 2] = ((flat >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8)
     return out.tobytes()
 
 

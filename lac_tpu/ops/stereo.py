@@ -36,15 +36,17 @@ def ms_inverse(mid, side, xp=np):
     return left, right
 
 
-def _zigzag_mag(v64, xp):
-    """Zigzag magnitude of an int64 difference (lac/encoder.cpp:38-41).
+def _zigzag_mag(v, xp):
+    """Zigzag magnitude of a difference (lac/encoder.cpp:38-41).
 
     ``zigzag(v) = 2v`` for v >= 0 and ``2(-v-1)+1 = -2v-1`` for v < 0 —
-    i.e. ``2|v| - (v < 0)``; values stay well inside int64, and sums over
-    <= 16384 terms of <= 26-bit magnitudes never approach the uint64
-    saturation the reference guards against.
+    i.e. ``2|v| - (v < 0)``; per-sample values are <= 2^27 for the
+    validated PCM domain (int32-safe), and sums over <= 16384 terms stay
+    <= 2^41 (int64 reductions) — the reference's uint64 saturation is
+    unreachable.
     """
-    return (xp.abs(v64) << xp.int64(1)) - (v64 < 0)
+    one = v.dtype.type(1)
+    return (xp.abs(v) << one) - (v < 0)
 
 
 def _approx_rice_bits(total, count, xp):
@@ -79,10 +81,12 @@ def estimate_stereo_mode(left, right, valid, xp=np):
     ``left``/``right``: (..., L) int32; ``valid``: bool mask.
     Returns (choose_ms, uncertain) bool arrays of the leading shape.
     """
-    l64 = left.astype(xp.int64)
-    r64 = right.astype(xp.int64)
-    m64 = (l64 + r64) >> xp.int64(1)
-    s64 = l64 - r64
+    # int32 elementwise math (inputs are validated <= 25-bit PCM; every
+    # intermediate fits comfortably), int64 reductions
+    l32 = left.astype(xp.int32)
+    r32 = right.astype(xp.int32)
+    m32 = (l32 + r32) >> xp.int32(1)
+    s32 = l32 - r32
     all_valid = bool(np.asarray(valid).all()) if not hasattr(valid, "aval") else False
     w = valid.astype(xp.int64)
     count = xp.sum(w, axis=-1)
@@ -90,20 +94,21 @@ def estimate_stereo_mode(left, right, valid, xp=np):
     idx = xp.arange(left.shape[-1], dtype=xp.int64)
     first = idx == 0
 
+    def rsum(a):
+        if xp is np:
+            return np.sum(a, axis=-1, dtype=np.int64)
+        return xp.sum(a.astype(xp.int64), axis=-1)
+
     sums = {}
-    for name, ch in (("l", l64), ("r", r64), ("m", m64), ("s", s64)):
+    for name, ch in (("l", l32), ("r", r32), ("m", m32), ("s", s32)):
         prev = shift_right(ch, 1, xp=xp)
         raw = _zigzag_mag(ch, xp)
         diff = xp.where(first, raw, _zigzag_mag(ch - prev, xp))
         anti = xp.where(first, raw, _zigzag_mag(ch + prev, xp))
         if all_valid:
-            sums[name] = (xp.sum(raw, axis=-1), xp.sum(diff, axis=-1), xp.sum(anti, axis=-1))
+            sums[name] = (rsum(raw), rsum(diff), rsum(anti))
         else:
-            sums[name] = (
-                xp.sum(raw * w, axis=-1),
-                xp.sum(diff * w, axis=-1),
-                xp.sum(anti * w, axis=-1),
-            )
+            sums[name] = (rsum(raw * w), rsum(diff * w), rsum(anti * w))
 
     bits = {}
     non_diff_any = None
