@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Precompile the encoder's hot executables into the persistent XLA cache.
+
+Run once after deployment (or a code change): compiles the planner for
+the fixed hot shapes (16384-sample blocks, 256-sample probes) across the
+power-of-two batch buckets, plus the autocorrelation kernel. First
+compiles take minutes on the axon toolchain; every later process loads
+from ~/.cache/lac_tpu/xla.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+import lac_tpu  # noqa: E402
+
+lac_tpu.configure_jax()
+
+import jax  # noqa: E402
+
+from lac_tpu.format import constants as C  # noqa: E402
+from lac_tpu import encoder as E  # noqa: E402
+
+
+def warm(n, buckets, emit_fields):
+    for b in buckets:
+        t0 = time.time()
+        pcm = np.zeros((b, n), np.int16)
+        coeffs = np.zeros((5, b, 13), np.int16)
+        valid = np.zeros((5, b), bool)
+        fn = E._jitted_plan(n, True, True, emit_fields)
+        jax.block_until_ready(fn(jax.device_put(pcm), jax.device_put(coeffs), jax.device_put(valid))["meta"])
+        print(f"plan n={n} B={b} emit_fields={emit_fields}: {time.time() - t0:.1f}s", flush=True)
+
+
+def main():
+    t0 = time.time()
+    ac = E._jitted_autocorr(12)
+    for b in (1, 2, 4, 8, 16, 32, 64, 128):
+        jax.block_until_ready(ac(jax.device_put(np.zeros((b, C.MAX_BLOCK_SIZE), np.int16))))
+    print(f"autocorr buckets: {time.time() - t0:.1f}s", flush=True)
+    from lac_tpu.runtime.native import native_available
+
+    emit_fields = not native_available()
+    warm(C.MAX_BLOCK_SIZE, (1, 2, 4, 8, 16, 32, 64, 128), emit_fields)
+    warm(C.STEREO_PROBE_SIZE, (16, 64, 256, 1024), emit_fields)
+    print("cache warm.")
+
+
+if __name__ == "__main__":
+    main()
