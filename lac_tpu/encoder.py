@@ -574,7 +574,7 @@ class _GroupJob:
 
         payloads = emit_blocks_native(
             self.pcm_np, ptype, order, coeffs_lane, best_p.astype(np.uint8), modes, ks,
-            enc.thread_count if hasattr(enc, "thread_count") else 0,
+            enc.thread_count,
         )
         if payloads is None:  # native vanished mid-flight: no replay data
             raise RuntimeError("native emitter unavailable")
@@ -597,9 +597,10 @@ class _GroupJob:
 class ChannelBlockEncoder:
     """Encodes groups of equal-length channel blocks to wire payloads."""
 
-    def __init__(self, zero_run_enabled=True, partitioning_enabled=True, xp=np):
+    def __init__(self, zero_run_enabled=True, partitioning_enabled=True, xp=np, thread_count=0):
         self.zero_run_enabled = bool(zero_run_enabled)
         self.partitioning_enabled = bool(partitioning_enabled)
+        self.thread_count = int(thread_count)  # host worker cap (0 = auto)
         self.xp = xp
         if is_jax(xp):
             from . import configure_jax
@@ -960,7 +961,9 @@ class FrameEncoder:
                         spec_lanes.append((bi, "ms", slot, chd))
                     deferred.append(bi)
 
-        enc = ChannelBlockEncoder(self.zero_run_enabled, self.partitioning_enabled, xp=xp)
+        enc = ChannelBlockEncoder(
+            self.zero_run_enabled, self.partitioning_enabled, xp=xp, thread_count=self.thread_count
+        )
 
         def encode_lanes(data_list):
             """Group by length, run all jobs through the three pipeline
