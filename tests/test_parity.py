@@ -47,6 +47,29 @@ def test_decoder_restores_golden(name):
     assert hdr.sample_rate == sr and hdr.bit_depth == depth
 
 
+@pytest.mark.parametrize("sr,depth", [(44100, 16), (48000, 24), (96000, 16), (192000, 24)])
+def test_live_reference_matrix(tmp_path, reference_cli, sr, depth):
+    """Fresh-signal differential across the configuration matrix."""
+    from .signals import lcg_noise, sine
+    import numpy as np
+    from lac_tpu.format import constants as C
+
+    lo, hi = C.pcm_range(depth)
+    amp = (hi * 2) // 3
+    n = 20000
+    l = np.clip(sine(n, sr, 260.0, amp) + lcg_noise(n, amp // 64, sr), lo, hi).astype(np.int32)
+    r = np.clip(sine(n, sr, 262.0, amp - 100) + lcg_noise(n, amp // 60, sr + 7), lo, hi).astype(np.int32)
+    wav = str(tmp_path / "m.wav")
+    assert write_wav(wav, l, r, 2, sr, depth)
+    for flag, smode in ((None, 2), ("--stereo-mode=lr", 0), ("--stereo-mode=ms", 1)):
+        lac = str(tmp_path / f"m{smode}.lac")
+        args = [reference_cli, "encode", wav, lac] + ([flag] if flag else [])
+        subprocess.run(args, check=True, capture_output=True)
+        want = open(lac, "rb").read()
+        got = FrameEncoder(12, smode, sr, depth).encode(l, r)
+        assert got == want, f"sr={sr} depth={depth} mode={smode}"
+
+
 def test_live_reference_differential(tmp_path, reference_cli):
     """End-to-end: both encoders on a fresh signal not in the fixtures."""
     from .signals import lcg_noise, sine
