@@ -50,7 +50,7 @@ def make_corpus():
     return left, right
 
 
-def bench_ours(left, right, repeats=4):
+def bench_ours(left, right, repeats=6):
     from lac_tpu.encoder import FrameEncoder
 
     try:
