@@ -70,6 +70,27 @@ def test_live_reference_matrix(tmp_path, reference_cli, sr, depth):
         assert got == want, f"sr={sr} depth={depth} mode={smode}"
 
 
+def test_live_reference_adversarial_spikes(tmp_path, reference_cli):
+    """Pathological residual statistics: isolated full-scale spikes (huge
+    Rice quotients at tiny adapted k) and alternating extremes."""
+    import numpy as np
+
+    n = 2048
+    spikes = np.zeros(n, np.int32)
+    spikes[3::4] = 0x7FFFFF
+    spikes[7::8] = -0x800000
+    alternating = np.tile(np.array([0x7FFFFF, -0x800000], np.int32), n // 2)
+    for name, sig in (("spikes", spikes), ("alternating", alternating)):
+        wav = str(tmp_path / f"{name}.wav")
+        lac = str(tmp_path / f"{name}.lac")
+        assert write_wav(wav, sig, np.empty(0, np.int32), 1, 48000, 24)
+        subprocess.run([reference_cli, "encode", wav, lac], check=True, capture_output=True)
+        got = FrameEncoder(12, 0, 48000, 24).encode(sig)
+        assert got == open(lac, "rb").read(), name
+        dl, _, _ = FrameDecoder().decode(got)
+        np.testing.assert_array_equal(dl, sig)
+
+
 def test_live_reference_differential(tmp_path, reference_cli):
     """End-to-end: both encoders on a fresh signal not in the fixtures."""
     from .signals import lcg_noise, sine
