@@ -22,6 +22,7 @@ XLA sees static shapes and no masking is needed.
 """
 
 import functools
+import os as _os
 
 import numpy as np
 
@@ -81,8 +82,6 @@ def _mode_cost_fields(v, u, k_used, run_len, long_run, run_start, xp):
     zr_per = xp.where(run_start, run_per, xp.where(long_run, xp.uint64(0), token_per))
     return rice_per, bin_per, zr_per
 
-
-import os as _os
 
 _USE_PALLAS_KCOSTS = _os.environ.get("LAC_TPU_PALLAS") == "1"
 
