@@ -13,12 +13,15 @@ The reference encodes one block at a time with per-sample loops
    (encoder.cpp:352-359, 441-456);
 4. partition sweep p=1..8 with stateless adaptation and the 5%
    decode-speed margins (encoder.cpp:486-552);
-5. per-token emission fields (head/unary/tail) for the chosen plan.
+5. compact token codes / plan metadata for emission.
 
 Stages 1 (sans LD), 2-5 compose into one jittable function
-(`plan_group`); the host only runs Levinson-Durbin, prefix-sum/scatter
-bit packing, and frame assembly. Groups are keyed by block length, so
-XLA sees static shapes and no masking is needed.
+(`plan_group`). The host runs Levinson-Durbin (80-bit), bit emission —
+either the native plan replay (lac_emit_blocks: recompute the winning
+residual and emit serially per lane, thread-parallel) or the compact
+token codes + prefix-sum/scatter packer — and frame assembly. Groups
+are keyed by block length, so XLA sees static shapes and no masking is
+needed; batch sizes bucket to powers of two.
 """
 
 import functools
