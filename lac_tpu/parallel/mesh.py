@@ -35,9 +35,14 @@ def make_mesh(devices=None):
     return Mesh(np.asarray(devices), (BLOCK_AXIS,))
 
 
+try:  # jax >= 0.8 top-level API; experimental path removed later
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+
 @functools.lru_cache(maxsize=32)
 def _sharded_plan_fn(mesh, n, zero_run_enabled, partitioning_enabled):
-    from jax.experimental.shard_map import shard_map
 
     def local(pcm, lpc_coeffs, lpc_valid):
         plan = plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, jnp)
@@ -65,7 +70,7 @@ def _sharded_plan_fn(mesh, n, zero_run_enabled, partitioning_enabled):
         "meta": P(BLOCK_AXIS),
         "total_token_bits": P(),
     }
-    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
     return jax.jit(fn)
 
 
