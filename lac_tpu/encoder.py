@@ -35,6 +35,7 @@ from .format.partitions import control_byte, max_partition_order_for_block
 from .format.zigzag import zigzag_encode
 from .ops import adapt, lpc, predictors, runs
 from .ops._backend import is_jax, shift_right
+from .utils import debug as _dbg
 
 
 def _repeat_cols(a, sizes_np, n, xp):
@@ -359,12 +360,15 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     # leaves the device then).
     if not emit_fields:
         ship = xp.zeros((B, 0), dtype=xp.uint8)
-        all_in_range = xp.all(lpc_in_range).astype(xp.int8)
+        # overflow only matters for candidates actually under consideration:
+        # the reference skips unstable/zero-order candidates before ever
+        # computing a residual (block/encoder.cpp:395-398)
+        lane_in_range = xp.all(lpc_in_range | ~lpc_valid, axis=0).astype(xp.int8)
         meta = xp.concatenate(
             [
                 sel_idx.astype(xp.int8)[:, None],
                 best_p.astype(xp.int8)[:, None],
-                xp.broadcast_to(all_in_range, (B,))[:, None],
+                lane_in_range[:, None],
                 sel_modes.astype(xp.int8),
                 sel_ks.astype(xp.int8),
             ],
@@ -417,12 +421,15 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
 
     # compact per-lane metadata (int8): sel_idx, best_p, in_range flag,
     # then partition modes and ks
-    all_in_range = xp.all(lpc_in_range).astype(xp.int8)
+    # overflow only matters for candidates actually under consideration:
+    # the reference skips unstable/zero-order candidates before ever
+    # computing a residual (block/encoder.cpp:395-398)
+    lane_in_range = xp.all(lpc_in_range | ~lpc_valid, axis=0).astype(xp.int8)
     meta = xp.concatenate(
         [
             sel_idx.astype(xp.int8)[:, None],
             best_p.astype(xp.int8)[:, None],
-            xp.broadcast_to(all_in_range, (B,))[:, None],
+            lane_in_range[:, None],
             sel_modes.astype(xp.int8),
             sel_ks.astype(xp.int8),
         ],
@@ -496,9 +503,10 @@ class _GroupJob:
         B, n = self.B, self.n
         Bp = 1 << max(0, (B - 1).bit_length())
         small = self.pcm_np.min(initial=0) >= -32768 and self.pcm_np.max(initial=0) <= 32767
-        pcm_pad = np.zeros((Bp, n), np.int16 if small else np.int32)
-        pcm_pad[:B] = self.pcm_np
-        self.pcm_dev = jax.device_put(pcm_pad)
+        with _dbg.phase("h2d_upload"):
+            pcm_pad = np.zeros((Bp, n), np.int16 if small else np.int32)
+            pcm_pad[:B] = self.pcm_np
+            self.pcm_dev = jax.device_put(pcm_pad)
         self.Bp = Bp
         max_valid_order = min(32, n - 1) if n > 1 else 0
         self.need_lpc = any(c <= max_valid_order for c in C.LPC_ORDER_CANDIDATES)
@@ -506,7 +514,8 @@ class _GroupJob:
             # materialize the (tiny) lags immediately: it paces the
             # upload stream — the tunnel runs ~5x faster on synchronized
             # modest transfers than on one deep deferred flush
-            self.R_np = np.asarray(_jitted_autocorr(12)(self.pcm_dev))[: self.B]
+            with _dbg.phase("autocorr_fetch"):
+                self.R_np = np.asarray(_jitted_autocorr(12)(self.pcm_dev))[: self.B]
 
     def dispatch_plan(self):
         from .runtime.native import native_available
@@ -515,42 +524,43 @@ class _GroupJob:
         B, n = self.B, self.n
         self.replay = native_available()
         if not self.is_jax:
-            coeffs, used, lvalid, mvo = enc._lpc_analysis(self.pcm_np, n)
-            plan = plan_group(
-                self.pcm_np, coeffs, lvalid, n, enc.zero_run_enabled, enc.partitioning_enabled,
-                np, emit_fields=not self.replay,
-            )
-            self._result = (np.asarray(plan["ship"]), np.asarray(plan["meta"]), coeffs, used, mvo)
+            with _dbg.phase("plan_numpy"):
+                coeffs, used, lvalid, mvo = enc._lpc_analysis(self.pcm_np, n)
+                plan = plan_group(
+                    self.pcm_np, coeffs, lvalid, n, enc.zero_run_enabled, enc.partitioning_enabled,
+                    np, emit_fields=not self.replay,
+                )
+                self._result = (np.asarray(plan["ship"]), np.asarray(plan["meta"]), coeffs, used, lvalid, mvo)
             return
         R = self.R_np if self.need_lpc else None
-        coeffs, used, lvalid, mvo = enc._lpc_analysis(self.pcm_np, n, precomputed_R=R)
-        self.coeffs, self.used, self.mvo = coeffs, used, mvo
-        coeffs_pad = np.zeros((coeffs.shape[0], self.Bp, 13), np.int16)
-        coeffs_pad[:, :B] = coeffs
-        lvalid_pad = np.zeros((lvalid.shape[0], self.Bp), bool)
-        lvalid_pad[:, :B] = lvalid
-        self.fut = _jitted_plan(n, enc.zero_run_enabled, enc.partitioning_enabled, not self.replay)(
-            self.pcm_dev, enc.xp.asarray(coeffs_pad), enc.xp.asarray(lvalid_pad)
-        )
-        keys = ("meta",) if self.replay else ("ship", "meta")
-        for key in keys:
-            try:
-                self.fut[key].copy_to_host_async()
-            except AttributeError:
-                pass
+        with _dbg.phase("host_ld"):
+            coeffs, used, lvalid, mvo = enc._lpc_analysis(self.pcm_np, n, precomputed_R=R)
+        self.coeffs, self.used, self.lvalid, self.mvo = coeffs, used, lvalid, mvo
+        with _dbg.phase("plan_dispatch"):
+            coeffs_pad = np.zeros((coeffs.shape[0], self.Bp, 13), np.int16)
+            coeffs_pad[:, :B] = coeffs
+            lvalid_pad = np.zeros((lvalid.shape[0], self.Bp), bool)
+            lvalid_pad[:, :B] = lvalid
+            self.fut = _jitted_plan(n, enc.zero_run_enabled, enc.partitioning_enabled, not self.replay)(
+                self.pcm_dev, enc.xp.asarray(coeffs_pad), enc.xp.asarray(lvalid_pad)
+            )
+            keys = ("meta",) if self.replay else ("ship", "meta")
+            for key in keys:
+                try:
+                    self.fut[key].copy_to_host_async()
+                except AttributeError:
+                    pass
 
-    def _finish_replay(self, meta, coeffs, used, mvo):
+    def _finish_replay(self, pcm, meta, coeffs, used, mvo):
         """Native plan replay: expand metadata to per-lane plan arrays
         and emit the wire payloads in one C++ pass."""
         from .runtime.native import emit_blocks_native
 
-        enc, B, n = self.enc, self.B, self.n
+        enc, n = self.enc, self.n
+        B = pcm.shape[0]
         sel = meta[:, 0].astype(np.int32)
         best_p = meta[:, 1].astype(np.int32)
-        if meta[0, 2] == 0:
-            raise NotImplementedError(
-                "LPC residual overflow fallback ladder hit — input outside validated PCM domain"
-            )
+        assert np.all(meta[:, 2] != 0), "in-range lanes only (ladder lanes replan on host)"
         max_p0 = (
             max_partition_order_for_block(n)
             if (enc.partitioning_enabled and n >= C.MIN_PARTITION_SIZE)
@@ -575,25 +585,92 @@ class _GroupJob:
         coeffs_lane[:, :13] = np.where(lpc_mask[:, None], coeffs[li, lanes, :], np.int16(0))
 
         payloads = emit_blocks_native(
-            self.pcm_np, ptype, order, coeffs_lane, best_p.astype(np.uint8), modes, ks,
+            pcm, ptype, order, coeffs_lane, best_p.astype(np.uint8), modes, ks,
             enc.thread_count,
         )
         if payloads is None:  # native vanished mid-flight: no replay data
             raise RuntimeError("native emitter unavailable")
         return payloads
 
-    def finish(self):
-        enc = self.enc
-        if not self.is_jax:
-            ship, meta, coeffs, used, mvo = self._result
-            if self.replay:
-                return self._finish_replay(meta, coeffs, used, mvo)
-            return enc._emit(ship, meta, coeffs, used, mvo, self.B, self.n)
-        meta = np.asarray(self.fut["meta"])[: self.B]
+    def _ladder_replan(self, pcm_rows, coeffs_rows, used_rows, lvalid_rows, mvo):
+        """Per-lane LPC residual-overflow fallback (lpc.cpp:188-229).
+
+        Lanes whose open-loop residual left int32 at some candidate order
+        replan on host: each candidate's coefficient set is truncated to
+        the highest ladder order that stays in range (0 -> candidate
+        dropped, block/encoder.cpp:401-403), then the numpy planner
+        rescores everything with reference-exact selection.
+        """
+        enc, n = self.enc, self.n
+        Bb = pcm_rows.shape[0]
+        coeffs2 = coeffs_rows.copy()
+        used2 = used_rows.copy()
+        lvalid2 = lvalid_rows.copy()
+        for li, cand in enumerate(C.LPC_ORDER_CANDIDATES):
+            for row in range(Bb):
+                if not lvalid2[li, row]:
+                    continue
+                o = predictors.lpc_ladder_order(
+                    pcm_rows[row], coeffs2[li, row], used2[li, row], cand
+                )
+                if o == 0:
+                    lvalid2[li, row] = False
+                else:
+                    used2[li, row] = o
+                    coeffs2[li, row, o + 1 :] = 0
+        plan = plan_group(
+            pcm_rows, coeffs2, lvalid2, n, enc.zero_run_enabled, enc.partitioning_enabled,
+            np, emit_fields=not self.replay,
+        )
+        meta2 = np.asarray(plan["meta"])
+        assert np.all(meta2[:, 2] != 0), "ladder-truncated lanes must be in range"
         if self.replay:
-            return self._finish_replay(meta, self.coeffs, self.used, self.mvo)
-        ship = np.asarray(self.fut["ship"])[: self.B]
-        return enc._emit(ship, meta, self.coeffs, self.used, self.mvo, self.B, self.n)
+            return self._finish_replay(pcm_rows, meta2, coeffs2, used2, mvo)
+        return enc._emit(np.asarray(plan["ship"]), meta2, coeffs2, used2, mvo, Bb, n)
+
+    def _payloads(self, pcm, ship, meta, coeffs, used, lvalid, mvo):
+        """Emit payloads for all lanes, routing residual-overflow lanes
+        (meta[:,2] == 0) through the host fallback-ladder replan."""
+        enc, B = self.enc, pcm.shape[0]
+        bad = meta[:, 2] == 0
+        if not bad.any():
+            if self.replay:
+                with _dbg.phase("native_emit"):
+                    return self._finish_replay(pcm, meta, coeffs, used, mvo)
+            with _dbg.phase("host_emit"):
+                return enc._emit(ship, meta, coeffs, used, mvo, B, self.n)
+        out = [None] * B
+        good = ~bad
+        if good.any():
+            sub_ship = ship[good] if (ship is not None and ship.size) else ship
+            if self.replay:
+                with _dbg.phase("native_emit"):
+                    sub = self._finish_replay(pcm[good], meta[good], coeffs[:, good], used[:, good], mvo)
+            else:
+                with _dbg.phase("host_emit"):
+                    sub = enc._emit(sub_ship, meta[good], coeffs[:, good], used[:, good], mvo,
+                                    int(good.sum()), self.n)
+            for i, pb in zip(np.nonzero(good)[0], sub):
+                out[i] = pb
+        with _dbg.phase("ladder_replan"):
+            sub = self._ladder_replan(pcm[bad], coeffs[:, bad], used[:, bad], lvalid[:, bad], mvo)
+        for i, pb in zip(np.nonzero(bad)[0], sub):
+            out[i] = pb
+        return out
+
+    def finish(self):
+        if not self.is_jax:
+            ship, meta, coeffs, used, lvalid, mvo = self._result
+            return self._payloads(self.pcm_np, ship, meta, coeffs, used, lvalid, mvo)
+        with _dbg.phase("meta_fetch"):
+            meta = np.asarray(self.fut["meta"])[: self.B]
+        ship = None
+        if not self.replay:
+            with _dbg.phase("ship_fetch"):
+                ship = np.asarray(self.fut["ship"])[: self.B]
+        return self._payloads(
+            self.pcm_np, ship, meta, self.coeffs, self.used, self.lvalid, self.mvo
+        )
 
 
 class ChannelBlockEncoder:
@@ -848,6 +925,7 @@ class FrameEncoder:
         from .ops.stereo import estimate_stereo_mode, ms_transform
 
         xp = self.xp
+        _dbg.timing_reset()
         left = np.ascontiguousarray(left, dtype=np.int32)
         right = np.ascontiguousarray(right, dtype=np.int32) if len(right) else np.empty(0, np.int32)
         self._validate(left, right)
@@ -888,6 +966,8 @@ class FrameEncoder:
         dual_lanes = []  # (block_idx, variant, slot, data) for uncertain small blocks
         spec_lanes = []  # (block_idx, variant, slot, data): speculative fulls
 
+        _stereo_phase = _dbg.phase("stereo_estimate")
+        _stereo_phase.__enter__()
         if per_block:
             # proxy decision for every block: full blocks in batched
             # chunks fanned over a thread pool (numpy releases the GIL
@@ -923,6 +1003,9 @@ class FrameEncoder:
                         left[s : s + sz][None, :], right[s : s + sz][None, :], np.ones((1, sz), bool)
                     )
                     decisions[bi] = (bool(np.asarray(cm)[0]), bool(np.asarray(un)[0]))
+        _stereo_phase.__exit__(None, None, None)
+        _lane_phase = _dbg.phase("lane_build")
+        _lane_phase.__enter__()
         for bi, (s, sz) in enumerate(zip(starts, sizes)):
             if not is_stereo:
                 add_lane(bi, 0, left[s : s + sz])
@@ -962,6 +1045,7 @@ class FrameEncoder:
                     for slot, chd in enumerate(ms_channels(s, sz)):
                         spec_lanes.append((bi, "ms", slot, chd))
                     deferred.append(bi)
+        _lane_phase.__exit__(None, None, None)
 
         enc = ChannelBlockEncoder(
             self.zero_run_enabled, self.partitioning_enabled, xp=xp, thread_count=self.thread_count
@@ -976,9 +1060,10 @@ class FrameEncoder:
             for i, d in enumerate(data_list):
                 by_len.setdefault(len(d), []).append(i)
             staged = []
-            for length, idxs in by_len.items():
-                group = np.stack([data_list[i] for i in idxs])
-                staged.append((idxs, enc.make_jobs(group)))
+            with _dbg.phase("group_stage"):
+                for length, idxs in by_len.items():
+                    group = np.stack([data_list[i] for i in idxs])
+                    staged.append((idxs, enc.make_jobs(group)))
             for _, jobs in staged:
                 for j in jobs:
                     j.dispatch_autocorr()
@@ -1061,13 +1146,16 @@ class FrameEncoder:
                 parts.append(chans[slot])
             block_bytes.append(b"".join(parts))
 
-        w = BitWriter()
-        w.write_bytes(hdr.pack())
-        w.write_bits(nblocks, 32)
-        for sz, bb in zip(sizes, block_bytes):
-            if len(bb) == 0 or len(bb) > 0xFFFFFFFF:
-                raise RuntimeError("encoded block size is outside format limits")
-            w.write_bits(sz, 32)
-            w.write_bits(len(bb), 32)
-        w.flush_to_byte()
-        return w.getvalue() + b"".join(block_bytes)
+        with _dbg.phase("assembly"):
+            w = BitWriter()
+            w.write_bytes(hdr.pack())
+            w.write_bits(nblocks, 32)
+            for sz, bb in zip(sizes, block_bytes):
+                if len(bb) == 0 or len(bb) > 0xFFFFFFFF:
+                    raise RuntimeError("encoded block size is outside format limits")
+                w.write_bits(sz, 32)
+                w.write_bits(len(bb), 32)
+            w.flush_to_byte()
+            out = w.getvalue() + b"".join(block_bytes)
+        _dbg.timing_report(f"encode {n} frames x{2 if is_stereo else 1}ch")
+        return out

@@ -73,6 +73,38 @@ def lpc_residual(x, coeffs_q15, order, xp=np):
     return diff.astype(xp.int32), in_range
 
 
+def lpc_ladder_order(x, coeffs_q15, start_order, max_order):
+    """Walk the residual-overflow fallback ladder for one lane (numpy).
+
+    Mirrors the reference ``compute_residual_q15`` attempt sequence
+    (lpc.cpp:188-229 via build_residual_attempt_orders, lpc.cpp:24-36):
+    try ``start_order``, then each ladder order below it, then 0.
+    Returns the first order whose open-loop residual stays in int32
+    (0 means the verbatim copy — the encoder then skips the candidate,
+    block/encoder.cpp:401-403).
+
+    Zeroing ``coeffs_q15[o+1:]`` afterwards makes a full-order residual
+    computation produce exactly the ``o``-tap residual, because warmup
+    taps already clamp to ``min(order, n)`` — so callers can reuse the
+    batched residual path with truncated coefficient sets.
+    """
+    start_order = max(0, min(int(start_order), int(max_order)))
+    attempts = [start_order]
+    attempts += [o for o in C.LPC_FALLBACK_ORDERS if o < start_order and o <= max_order]
+    attempts.append(0)
+    x64 = np.asarray(x, dtype=np.int64)
+    for o in attempts:
+        if o <= 0:
+            return 0
+        acc = np.zeros_like(x64)
+        for i in range(1, o + 1):
+            acc[i:] += int(coeffs_q15[i]) * x64[:-i]
+        diff = x64 - (acc >> 15)
+        if diff.size == 0 or (diff.min() >= C.INT32_MIN and diff.max() <= C.INT32_MAX):
+            return o
+    return 0
+
+
 # --------------------------------------------------------------------- decode
 
 # bound on any intermediate difference order of an int32-valued sequence:
@@ -112,10 +144,6 @@ def fixed_restore(res, order, valid_len=None, xp=np):
         ok = ok & xp.all(xp.where(vmask, xp.abs(y) <= _STAGE_BOUND, True), axis=-1)
     ok = ok & xp.all(xp.where(vmask, (y >= C.INT32_MIN) & (y <= C.INT32_MAX), True), axis=-1)
     return y, ok
-
-
-def _scan_restore_numpy(res, step):
-    raise NotImplementedError
 
 
 def fir_restore(res, valid_len=None, xp=np):
