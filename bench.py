@@ -98,6 +98,61 @@ def bench_reference(left, right):
     return data, FRAMES / best
 
 
+LONG_FRAMES = 50_000_000
+
+
+def make_long(seed=52):
+    """50M-frame music-like stereo content (the long-file scaling case)."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(LONG_FRAMES, dtype=np.float64)
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t / SR) + 0.2 * np.sin(2 * np.pi * 881 * t / SR)
+    noise = rng.standard_normal(LONG_FRAMES)
+    noise = 0.5 * noise + 0.5 * np.concatenate([[0.0], noise[:-1]])
+    sig += 0.06 * noise
+    left = np.clip(sig * 26000, -32768, 32767).astype(np.int32)
+    right = np.clip(np.roll(sig, 5) * 25000, -32768, 32767).astype(np.int32)
+    return left, right
+
+
+def bench_long():
+    """-> (ours frames/s, reference frames/s or None, parity ok or None).
+
+    One warm pass (per-process executable loads), then two fresh-content
+    timed passes; reference timed once on the same content.
+    """
+    from lac_tpu.encoder import FrameEncoder
+
+    try:
+        import jax.numpy as jnp
+
+        xp = jnp
+    except Exception:
+        xp = np
+    enc = FrameEncoder(12, 2, SR, 16, xp=xp)
+    left, right = make_long(51)
+    enc.encode(left, right)  # warm: compiles/loads excluded from timing
+    best = float("inf")
+    for seed in (52, 53):
+        left, right = make_long(seed)
+        t0 = time.perf_counter()
+        bs = enc.encode(left, right)
+        best = min(best, time.perf_counter() - t0)
+    ours_fps = LONG_FRAMES / best
+    if not REF.exists():
+        return ours_fps, None, None
+    from lac_tpu.io import write_wav
+
+    with tempfile.TemporaryDirectory() as td:
+        wav = f"{td}/long.wav"
+        lac = f"{td}/long.lac"
+        write_wav(wav, left, right, 2, SR, 16)
+        t0 = time.perf_counter()
+        subprocess.run([str(REF), "encode", wav, lac], check=True, capture_output=True)
+        ref_fps = LONG_FRAMES / (time.perf_counter() - t0)
+        parity = open(lac, "rb").read() == bs
+    return ours_fps, ref_fps, parity
+
+
 def main():
     left, right = make_corpus()
     bitstream, ours_fps = bench_ours(left, right)
@@ -117,16 +172,22 @@ def main():
             )
             return 1
     vs = (ours_fps / ref_fps) if ref_fps else None
-    print(
-        json.dumps(
-            {
-                "metric": "encode_throughput",
-                "value": round(ours_fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(vs, 3) if vs else None,
-            }
-        )
-    )
+    result = {
+        "metric": "encode_throughput",
+        "value": round(ours_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }
+    if os.environ.get("LAC_BENCH_SKIP_LONG") != "1":
+        long_fps, long_ref, long_parity = bench_long()
+        result["long_frames"] = LONG_FRAMES
+        result["long_value"] = round(long_fps, 1)
+        if long_ref:
+            result["long_vs_baseline"] = round(long_fps / long_ref, 3)
+        if long_parity is False:
+            result["error"] = "long-file bitstream parity FAILED"
+            result["vs_baseline"] = 0.0
+    print(json.dumps(result))
     return 0
 
 

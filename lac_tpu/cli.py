@@ -105,13 +105,20 @@ def _cmd_encode(argv) -> int:
     thread_count = 0
     debug_threads = False
     debug_zr = False
+    debug_lpc = False
+    debug_stereo_est = False
+    debug_partitions = False
     for flag in argv[2:]:
         if flag in ("--debug-threads",):
             debug_threads = True
         elif flag == "--debug-zr":
             debug_zr = True
-        elif flag in ("--debug-stereo-est", "--debug-lpc", "--debug-partitions"):
-            pass  # accepted; per-block tracing is debug-build-only upstream
+        elif flag == "--debug-lpc":
+            debug_lpc = True
+        elif flag == "--debug-stereo-est":
+            debug_stereo_est = True
+        elif flag == "--debug-partitions":
+            debug_partitions = True
         elif flag == "--no-partitioning":
             partitioning = False
         elif flag == "--stereo-mode=lr":
@@ -136,6 +143,22 @@ def _cmd_encode(argv) -> int:
     encoder = FrameEncoder(12, effective_mode, sample_rate, bit_depth, xp=xp)
     encoder.set_partitioning_enabled(partitioning)
     encoder.set_thread_count(thread_count)
+    encoder.set_debug_lpc(debug_lpc)
+    encoder.set_debug_stereo_est(debug_stereo_est)
+    encoder.set_debug_partitions(debug_partitions)
+    if os.environ.get("LAC_TPU_MESH") == "1":
+        # shard plan batches over all local devices (multi-chip serving);
+        # bytes are identical to the single-device path by construction
+        import jax
+
+        from .parallel import make_mesh
+
+        if len(jax.devices()) > 1:
+            encoder.set_mesh(make_mesh())
+    if debug_threads:
+        from .runtime.native import thread_collector_reset
+
+        thread_collector_reset()
     bitstream = encoder.encode(left, right)
     if debug_zr:
         baseline = FrameEncoder(12, effective_mode, sample_rate, bit_depth, xp=xp)
@@ -161,7 +184,12 @@ def _cmd_encode(argv) -> int:
             return 1
     sys.stdout.write(f"Encoded {in_path} -> {out_path} ({len(bitstream)} bytes)\n")
     if debug_threads:
-        workers = max(1, thread_count or (os.cpu_count() or 1))
+        from .runtime.native import thread_collector_count
+
+        # measured distinct worker ids from the native pools (reference
+        # ThreadCollector, main.cpp:699-708); pure-Python paths run on
+        # the calling thread only
+        workers = max(1, thread_collector_count())
         sys.stdout.write(f"Thread usage: {workers} threads\n")
         if workers <= 1:
             sys.stdout.write("WARNING: Multi-threading not active (single-threaded execution).\n")
@@ -201,6 +229,10 @@ def _cmd_decode(argv) -> int:
         if not staged.is_ready():
             sys.stderr.write(f"Failed to write WAV: {out_path}\n")
             return 1
+        if debug_threads:
+            from .runtime.native import thread_collector_reset
+
+            thread_collector_reset()
         decoder = FrameDecoder()
         decoder.set_thread_count(thread_count)
         try:
@@ -221,7 +253,9 @@ def _cmd_decode(argv) -> int:
             return 1
     sys.stdout.write(f"Decoded {in_path} -> {out_path} ({len(left)} samples per channel)\n")
     if debug_threads:
-        workers = max(1, thread_count or (os.cpu_count() or 1))
+        from .runtime.native import thread_collector_count
+
+        workers = max(1, thread_collector_count())
         sys.stdout.write(f"Decoder thread usage: {workers} threads\n")
         if workers <= 1:
             sys.stdout.write("WARNING: Decoder multi-threading may not be active.\n")

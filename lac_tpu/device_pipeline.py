@@ -1,0 +1,413 @@
+"""Device-resident plane pipeline for full-size blocks.
+
+The legacy group path (encoder._GroupJob) builds per-lane host arrays
+(M/S transform, stacking, padding) and uploads the *chosen* channel
+lanes — on long files the host-side data movement and the duplicate
+M/S upload dominate the single host core. This pipeline instead keeps
+whole channel *planes* resident on device:
+
+1. upload L and R once per chunk of K full blocks (int16 for 16-bit
+   content — half the tunnel bytes; zero host copies for int32),
+2. derive M/S, the per-block stereo proxy decision
+   (lac/encoder.cpp:126-197), probe slices, and autocorrelation lags for
+   every plane in one fused jit ("analyze"),
+3. gather the chosen per-block channel rows on device and feed them
+   straight into the persistently-cached ``plan_group`` executable —
+   only lags, flags, and plan metadata ever cross the tunnel,
+4. replay the plan natively on host (lac_emit_blocks).
+
+Uncertain blocks (probe-resolved in the reference,
+lac/encoder.cpp:332-372) stay in-pipeline: their 3x256-sample probe
+lanes for both variants are planned on device from static plane slices,
+and both full variants are planned speculatively; the probe byte totals
+pick the winner, exactly like the legacy path.
+
+Chunks flow through a 3-stage software pipeline (analyze / plan /
+emit) with a sliding window, so uploads pace steadily, device compute
+stays ~2 chunks ahead, and the serial host emit overlaps device work.
+"""
+
+import functools
+import os
+
+import numpy as np
+
+from .format import constants as C
+from .ops import lpc
+from .ops.stereo import estimate_stereo_mode, ms_transform
+from .utils import debug as _dbg
+
+N = C.MAX_BLOCK_SIZE
+PROBE = C.STEREO_PROBE_SIZE
+PROBE_POS = (0, (N - PROBE) // 2, N - PROBE)  # lac/encoder.cpp:336-343
+# chunk width: one fixed shape for every analyze/plan executable (shape
+# diversity = minutes of extra compiles). 128 is the TPU production
+# width; the CPU test suite shrinks it (tests/conftest.py) because a
+# (128, 16384) planner compile takes tens of minutes on one CPU core.
+CHUNK_BLOCKS = int(os.environ.get("LAC_TPU_CHUNK_BLOCKS", "128"))
+MIN_FULL_BLOCKS = 8
+
+
+def applicable(frame_enc, nfull):
+    from .ops._backend import is_jax
+    from .runtime.native import native_available
+
+    return (
+        is_jax(frame_enc.xp)
+        and native_available()
+        and nfull >= MIN_FULL_BLOCKS
+        # with a mesh configured the plan batches shard through
+        # parallel.mesh in the group path instead
+        and getattr(frame_enc, "mesh", None) is None
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_analyze(K, kind, in_dtype):
+    import jax
+    import jax.numpy as jnp
+
+    mask_np = np.ones((K, N), bool)
+
+    def analyze(lmat, rmat):
+        l32 = lmat.astype(jnp.int32)
+        out = {}
+        if kind == "mono":
+            planes = l32[None]
+        else:
+            r32 = rmat.astype(jnp.int32)
+            if kind == "lr":
+                planes = jnp.stack([l32, r32])
+            else:
+                m32 = ((l32.astype(jnp.int64) + r32.astype(jnp.int64)) >> jnp.int64(1)).astype(jnp.int32)
+                s32 = (l32.astype(jnp.int64) - r32.astype(jnp.int64)).astype(jnp.int32)
+                if kind == "ms":
+                    planes = jnp.stack([m32, s32])
+                else:  # auto: per-block proxy decision + probe lanes
+                    planes = jnp.stack([l32, r32, m32, s32])
+                    cm, un = estimate_stereo_mode(l32, r32, mask_np, xp=jnp)
+                    out["cm"], out["un"] = cm, un
+                    probes = jnp.stack(
+                        [planes[:, :, p : p + PROBE] for p in PROBE_POS], axis=2
+                    )  # (4, K, 3, PROBE)
+                    out["probes"] = probes.reshape(-1, PROBE)
+                    out["plags"] = lpc.autocorrelation(out["probes"], 12, xp=jnp)
+        P = planes.shape[0]
+        out["planes"] = planes.reshape(P * K, N)
+        out["lags"] = lpc.autocorrelation(out["planes"], 12, xp=jnp)
+        return out
+
+    return jax.jit(analyze)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_gather(n):
+    import jax
+
+    return jax.jit(lambda flat, rows: flat[rows])
+
+
+class _ChunkJob:
+    """One chunk of K full blocks through analyze -> plan -> emit."""
+
+    def __init__(self, pipe, c0, kc):
+        self.pipe = pipe
+        self.c0 = c0  # first block index (within the full-block prefix)
+        self.kc = kc  # real blocks in this chunk (<= K)
+
+    # ------------------------------------------------------------ stage 1
+    def dispatch_analyze(self):
+        import jax
+
+        pipe = self.pipe
+        K = pipe.K
+        with _dbg.phase("plane_upload"):
+            lmat = pipe.lview[self.c0 : self.c0 + self.kc]
+            rmat = pipe.rview[self.c0 : self.c0 + self.kc] if pipe.rview is not None else None
+            if self.kc < K:  # pad the final partial chunk
+                pad = np.zeros((K, N), lmat.dtype)
+                pad[: self.kc] = lmat
+                lmat = pad
+                if rmat is not None:
+                    padr = np.zeros((K, N), rmat.dtype)
+                    padr[: self.kc] = rmat
+                    rmat = padr
+            fn = _jitted_analyze(K, pipe.kind, str(lmat.dtype))
+            args = (jax.device_put(lmat),)
+            args += (jax.device_put(rmat),) if rmat is not None else (jax.device_put(lmat),)
+            self.dev = fn(*args)
+        for key in ("cm", "un", "lags", "plags"):
+            if key in self.dev:
+                try:
+                    self.dev[key].copy_to_host_async()
+                except AttributeError:
+                    pass
+
+    # ------------------------------------------------------------ stage 2
+    def dispatch_plan(self):
+        import jax.numpy as jnp
+
+        from .encoder import _jitted_plan, lpc_candidates_from_lags
+
+        pipe, K, kc = self.pipe, self.pipe.K, self.kc
+        with _dbg.phase("flags_fetch"):
+            lags = np.asarray(self.dev["lags"])
+            if pipe.kind == "auto":
+                cm = np.asarray(self.dev["cm"])[:kc]
+                un = np.asarray(self.dev["un"])[:kc]
+            else:
+                cm = un = None
+        self.cm, self.un = cm, un
+
+        # full-lane row list: (flat plane row, local block, variant, slot)
+        rows, recs = [], []
+        for i in range(kc):
+            if pipe.kind == "mono":
+                rows += [i]
+                recs += [(i, "lr", 0)]
+            elif pipe.kind == "lr":
+                rows += [i, K + i]
+                recs += [(i, "lr", 0), (i, "lr", 1)]
+            elif pipe.kind == "ms":
+                rows += [i, K + i]
+                recs += [(i, "ms", 0), (i, "ms", 1)]
+            elif un[i]:
+                rows += [i, K + i, 2 * K + i, 3 * K + i]
+                recs += [(i, "lr", 0), (i, "lr", 1), (i, "ms", 0), (i, "ms", 1)]
+            elif cm[i]:
+                rows += [2 * K + i, 3 * K + i]
+                recs += [(i, "ms", 0), (i, "ms", 1)]
+            else:
+                rows += [i, K + i]
+                recs += [(i, "lr", 0), (i, "lr", 1)]
+        self.rows, self.recs = np.asarray(rows, np.int32), recs
+
+        with _dbg.phase("host_ld"):
+            coeffs, used, lvalid, mvo = lpc_candidates_from_lags(lags[self.rows], N)
+        self.coeffs, self.used, self.mvo = coeffs, used, mvo
+
+        gather = _jitted_gather(N)
+        plan = _jitted_plan(N, pipe.zero_run, pipe.partitioning, False)
+        self.futs = []
+        with _dbg.phase("plan_dispatch"):
+            for lo in range(0, len(rows), CHUNK_BLOCKS):
+                sub = self.rows[lo : lo + CHUNK_BLOCKS]
+                nsub = len(sub)
+                bp = CHUNK_BLOCKS  # single fixed executable shape
+                if nsub < bp:
+                    sub = np.concatenate([sub, np.zeros(bp - nsub, np.int32)])
+                cpad = np.zeros((coeffs.shape[0], bp, 13), np.int16)
+                cpad[:, :nsub] = coeffs[:, lo : lo + nsub]
+                vpad = np.zeros((lvalid.shape[0], bp), bool)
+                vpad[:, :nsub] = lvalid[:, lo : lo + nsub]
+                g = gather(self.dev["planes"], jnp.asarray(sub))
+                fut = plan(g, jnp.asarray(cpad), jnp.asarray(vpad))
+                try:
+                    fut["meta"].copy_to_host_async()
+                except AttributeError:
+                    pass
+                self.futs.append((fut, nsub))
+
+        if pipe.kind == "auto" and un.any():
+            self._dispatch_probe_plan()
+        else:
+            self.probe_futs = None
+
+    def _dispatch_probe_plan(self):
+        import jax.numpy as jnp
+
+        from .encoder import _jitted_plan, lpc_candidates_from_lags
+
+        pipe, K = self.pipe, self.pipe.K
+        plags = np.asarray(self.dev["plags"])
+        # probe row layout inside (4, K, 3, PROBE).reshape(-1, PROBE):
+        # flat = (plane * K + block) * 3 + pos
+        rows, recs = [], []
+        for i in np.nonzero(self.un)[0]:
+            for variant, pl0 in (("lr", 0), ("ms", 2)):
+                for pl in (pl0, pl0 + 1):
+                    for pos in range(3):
+                        rows.append((pl * K + int(i)) * 3 + pos)
+                        recs.append((int(i), variant))
+        self.probe_rows, self.probe_recs = np.asarray(rows, np.int32), recs
+
+        with _dbg.phase("host_ld"):
+            coeffs, used, lvalid, mvo = lpc_candidates_from_lags(plags[self.probe_rows], PROBE)
+        self.probe_coeffs, self.probe_used, self.probe_mvo = coeffs, used, mvo
+
+        gather = _jitted_gather(PROBE)
+        plan = _jitted_plan(PROBE, pipe.zero_run, pipe.partitioning, False)
+        # one fixed probe batch shape (12 probe lanes x up to K blocks):
+        # padding is cheap (256-sample lanes), a second executable is not
+        cap = 12 * CHUNK_BLOCKS
+        self.probe_futs = []
+        with _dbg.phase("plan_dispatch"):
+            for lo in range(0, len(rows), cap):
+                sub = self.probe_rows[lo : lo + cap]
+                nsub = len(sub)
+                bp = cap
+                if nsub < bp:
+                    sub = np.concatenate([sub, np.zeros(bp - nsub, np.int32)])
+                cpad = np.zeros((coeffs.shape[0], bp, 13), np.int16)
+                cpad[:, :nsub] = coeffs[:, lo : lo + nsub]
+                vpad = np.zeros((lvalid.shape[0], bp), bool)
+                vpad[:, :nsub] = lvalid[:, lo : lo + nsub]
+                g = gather(self.dev["probes"], jnp.asarray(sub))
+                fut = plan(g, jnp.asarray(cpad), jnp.asarray(vpad))
+                try:
+                    fut["meta"].copy_to_host_async()
+                except AttributeError:
+                    pass
+                self.probe_futs.append((fut, nsub))
+
+    # ------------------------------------------------------------ stage 3
+    def finish(self):
+        from .encoder import replay_payloads
+
+        pipe, K, kc = self.pipe, self.pipe.K, self.kc
+        with _dbg.phase("meta_fetch"):
+            metas = [np.asarray(f["meta"])[:nsub] for f, nsub in self.futs]
+        meta = np.concatenate(metas) if len(metas) > 1 else metas[0]
+
+        # host PCM rows for the native replay (M/S derived only for the
+        # blocks that need it, one vectorized pass)
+        with _dbg.phase("emit_prep"):
+            lmat = pipe.lview[self.c0 : self.c0 + kc]
+            rmat = pipe.rview[self.c0 : self.c0 + kc] if pipe.rview is not None else None
+            ms_local = sorted({i for i, v, _ in self.recs if v == "ms"})
+            ms_map = {i: j for j, i in enumerate(ms_local)}
+            if ms_local:
+                mrows, srows = ms_transform(lmat[ms_local], rmat[ms_local])
+            pcm = np.empty((len(self.recs), N), np.int32)
+            for r, (i, variant, slot) in enumerate(self.recs):
+                if variant == "lr":
+                    pcm[r] = lmat[i] if (slot == 0 or rmat is None) else rmat[i]
+                else:
+                    pcm[r] = mrows[ms_map[i]] if slot == 0 else srows[ms_map[i]]
+        with _dbg.phase("native_emit"):
+            payloads = replay_payloads(
+                pcm, meta, self.coeffs, self.used, self.mvo, N,
+                pipe.partitioning, pipe.thread_count,
+            )
+
+        out_payloads = {}  # local block -> {variant: {slot: bytes}}
+        for (i, variant, slot), pb in zip(self.recs, payloads):
+            out_payloads.setdefault(i, {}).setdefault(variant, {})[slot] = pb
+
+        flags, uncertain = {}, {}
+        if pipe.kind == "auto":
+            for i in range(kc):
+                uncertain[i] = bool(self.un[i])
+                if not self.un[i]:
+                    flags[i] = 1 if self.cm[i] else 0
+            if self.un.any():
+                self._finish_probes(flags, lmat, rmat)
+        result = {}
+        for i in range(kc):
+            variant = None
+            if pipe.kind in ("mono", "lr"):
+                variant = "lr"
+            elif pipe.kind == "ms":
+                variant = "ms"
+            else:
+                variant = "ms" if flags[i] else "lr"
+            result[self.c0 + i] = out_payloads[i][variant]
+        return (
+            result,
+            {self.c0 + i: f for i, f in flags.items()},
+            {self.c0 + i: u for i, u in uncertain.items()},
+        )
+
+    def _finish_probes(self, flags, lmat, rmat):
+        from .encoder import replay_payloads
+
+        pipe = self.pipe
+        with _dbg.phase("meta_fetch"):
+            metas = [np.asarray(f["meta"])[:nsub] for f, nsub in self.probe_futs]
+        meta = np.concatenate(metas) if len(metas) > 1 else metas[0]
+
+        with _dbg.phase("emit_prep"):
+            un_local = sorted({i for i, _ in self.probe_recs})
+            mprobe, sprobe = ms_transform(lmat[un_local], rmat[un_local])
+            un_map = {i: j for j, i in enumerate(un_local)}
+            pcm = np.empty((len(self.probe_recs), PROBE), np.int32)
+            r = 0
+            for i in un_local:
+                j = un_map[i]
+                for variant in ("lr", "ms"):
+                    a, b = (lmat[i], rmat[i]) if variant == "lr" else (mprobe[j], sprobe[j])
+                    for ch in (a, b):
+                        for pos in PROBE_POS:
+                            pcm[r] = ch[pos : pos + PROBE]
+                            r += 1
+        with _dbg.phase("native_emit"):
+            payloads = replay_payloads(
+                pcm, meta, self.probe_coeffs, self.probe_used, self.probe_mvo, PROBE,
+                pipe.partitioning, pipe.thread_count,
+            )
+        totals = {}
+        for (i, variant), pb in zip(self.probe_recs, payloads):
+            t = totals.setdefault(i, {"lr": 0, "ms": 0})
+            t[variant] += len(pb)
+        for i, t in totals.items():
+            flags[i] = 1 if t["ms"] < t["lr"] else 0
+
+
+class PlanePipeline:
+    def __init__(self, frame_enc, left, right, nfull, kind):
+        from . import configure_jax
+
+        configure_jax()
+        self.kind = kind
+        self.zero_run = bool(frame_enc.zero_run_enabled)
+        self.partitioning = bool(frame_enc.partitioning_enabled)
+        self.thread_count = int(frame_enc.thread_count)
+        # fixed chunk width: every analyze/plan executable has one shape
+        # (compiles are minutes on the axon remote-compile service, so
+        # shape diversity is the enemy; short files pad up)
+        self.K = CHUNK_BLOCKS
+        dt = np.int16 if frame_enc.bit_depth == 16 else np.int32
+        self.lview = np.ascontiguousarray(
+            left[: nfull * N].reshape(nfull, N), dtype=dt
+        )
+        self.rview = (
+            np.ascontiguousarray(right[: nfull * N].reshape(nfull, N), dtype=dt)
+            if kind != "mono"
+            else None
+        )
+        self.jobs = [
+            _ChunkJob(self, c0, min(self.K, nfull - c0))
+            for c0 in range(0, nfull, self.K)
+        ]
+
+    def run(self):
+        """3-stage sliding window: analyze chunk j while planning j-1 and
+        emitting j-2; device stays ahead, host emit overlaps."""
+        payloads, flags, uncertain = {}, {}, {}
+        jobs = self.jobs
+        for j, job in enumerate(jobs):
+            job.dispatch_analyze()
+            if j >= 1:
+                jobs[j - 1].dispatch_plan()
+            if j >= 2:
+                p, f, u = jobs[j - 2].finish()
+                payloads.update(p)
+                flags.update(f)
+                uncertain.update(u)
+                jobs[j - 2].dev = jobs[j - 2].futs = None  # release device buffers
+        if jobs:
+            jobs[-1].dispatch_plan()
+        for job in jobs[-2:] if len(jobs) >= 2 else jobs[-1:]:
+            p, f, u = job.finish()
+            payloads.update(p)
+            flags.update(f)
+            uncertain.update(u)
+            job.dev = job.futs = None
+        return payloads, flags, uncertain
+
+
+def encode_full_blocks(frame_enc, left, right, nfull, kind):
+    """Encode the leading ``nfull`` full-size blocks via device-resident
+    planes. Returns (payloads: {block: {slot: bytes}}, flags: {block:
+    0|1}, uncertain: {block: bool}) — flags/uncertain only for auto."""
+    return PlanePipeline(frame_enc, left, right, nfull, kind).run()

@@ -466,6 +466,71 @@ def _jitted_autocorr(order):
     return jax.jit(lambda x: lpc.autocorrelation(x, order, xp=jnp))
 
 
+def lpc_candidates_from_lags(R, n):
+    """Host 80-bit Levinson-Durbin from exact int64 lags (B, 13) ->
+    candidate arrays (coeffs (5,B,13) i16, used (5,B) i32, valid (5,B)
+    bool, max_valid_order). One order-12 recursion yields every
+    candidate order as a snapshot (reference lpc.cpp:98-186)."""
+    B = R.shape[0]
+    ncl = len(C.LPC_ORDER_CANDIDATES)
+    coeffs = np.zeros((ncl, B, 13), dtype=np.int16)
+    used = np.zeros((ncl, B), dtype=np.int32)
+    valid = np.zeros((ncl, B), dtype=bool)
+    max_valid_order = min(32, n - 1) if n > 1 else 0
+    Rld = np.asarray(R, dtype=np.longdouble)
+    Rld[:, 0] = np.maximum(Rld[:, 0], np.longdouble(1))
+    A, break_step = lpc.levinson_durbin_snapshots(Rld, 12)
+    analysis = {"A": A, "break_step": break_step}
+    for li, cand in enumerate(C.LPC_ORDER_CANDIDATES):
+        if cand > max_valid_order:
+            continue
+        cc, ach, stable = lpc.candidate_coeffs_q15(analysis, cand)
+        coeffs[li, :, : cand + 1] = cc
+        used[li] = ach
+        valid[li] = stable
+    return coeffs, used, valid, max_valid_order
+
+
+def replay_payloads(pcm, meta, coeffs, used, mvo, n, partitioning_enabled, thread_count):
+    """Native plan replay: expand plan metadata to per-lane arrays and
+    emit the wire payloads in one C++ pass (lac_emit_blocks)."""
+    from .runtime.native import emit_blocks_native
+
+    B = pcm.shape[0]
+    sel = meta[:, 0].astype(np.int32)
+    best_p = meta[:, 1].astype(np.int32)
+    assert np.all(meta[:, 2] != 0), "in-range lanes only (ladder lanes replan on host)"
+    max_p0 = (
+        max_partition_order_for_block(n)
+        if (partitioning_enabled and n >= C.MIN_PARTITION_SIZE)
+        else 0
+    )
+    max_parts = 1 << max_p0
+    modes = np.zeros((B, 256), np.uint8)
+    ks = np.zeros((B, 256), np.uint8)
+    modes[:, :max_parts] = meta[:, 3 : 3 + max_parts]
+    ks[:, :max_parts] = meta[:, 3 + max_parts : 3 + 2 * max_parts]
+
+    pt_tab = np.asarray([t for t, _ in _CANDIDATES], np.uint8)
+    op_tab = np.asarray([o for _, o in _CANDIDATES], np.uint8)
+    ptype = pt_tab[sel]
+    order = op_tab[sel].astype(np.int32)
+    lanes = np.arange(B)
+    lpc_mask = sel >= _LPC_BASE
+    li = np.clip(sel - _LPC_BASE, 0, len(C.LPC_ORDER_CANDIDATES) - 1)
+    used_sel = used[li, lanes]
+    order = np.where(lpc_mask, np.clip(used_sel, 1, mvo), order).astype(np.uint8)
+    coeffs_lane = np.zeros((B, 33), np.int16)
+    coeffs_lane[:, :13] = np.where(lpc_mask[:, None], coeffs[li, lanes, :], np.int16(0))
+
+    payloads = emit_blocks_native(
+        pcm, ptype, order, coeffs_lane, best_p.astype(np.uint8), modes, ks, thread_count
+    )
+    if payloads is None:  # native vanished mid-flight: no replay data
+        raise RuntimeError("native emitter unavailable")
+    return payloads
+
+
 class _GroupJob:
     """Pipelined encode of one device batch, split into three phases so
     the frame encoder can overlap H2D uploads, device compute, D2H
@@ -502,11 +567,18 @@ class _GroupJob:
 
         B, n = self.B, self.n
         Bp = 1 << max(0, (B - 1).bit_length())
+        enc = self.enc
+        if enc.mesh is not None:
+            msize = int(np.prod(enc.mesh.devices.shape))
+            while Bp % msize:
+                Bp *= 2
         small = self.pcm_np.min(initial=0) >= -32768 and self.pcm_np.max(initial=0) <= 32767
         with _dbg.phase("h2d_upload"):
             pcm_pad = np.zeros((Bp, n), np.int16 if small else np.int32)
             pcm_pad[:B] = self.pcm_np
             self.pcm_dev = jax.device_put(pcm_pad)
+        if enc.mesh is not None:
+            self.pcm_pad_host = pcm_pad
         self.Bp = Bp
         max_valid_order = min(32, n - 1) if n > 1 else 0
         self.need_lpc = any(c <= max_valid_order for c in C.LPC_ORDER_CANDIDATES)
@@ -541,9 +613,18 @@ class _GroupJob:
             coeffs_pad[:, :B] = coeffs
             lvalid_pad = np.zeros((lvalid.shape[0], self.Bp), bool)
             lvalid_pad[:, :B] = lvalid
-            self.fut = _jitted_plan(n, enc.zero_run_enabled, enc.partitioning_enabled, not self.replay)(
-                self.pcm_dev, enc.xp.asarray(coeffs_pad), enc.xp.asarray(lvalid_pad)
-            )
+            if enc.mesh is not None:
+                from .parallel.mesh import plan_group_sharded
+
+                self.fut = plan_group_sharded(
+                    enc.mesh, self.pcm_pad_host, coeffs_pad, lvalid_pad, n,
+                    enc.zero_run_enabled, enc.partitioning_enabled,
+                    emit_fields=not self.replay,
+                )
+            else:
+                self.fut = _jitted_plan(n, enc.zero_run_enabled, enc.partitioning_enabled, not self.replay)(
+                    self.pcm_dev, enc.xp.asarray(coeffs_pad), enc.xp.asarray(lvalid_pad)
+                )
             keys = ("meta",) if self.replay else ("ship", "meta")
             for key in keys:
                 try:
@@ -552,45 +633,10 @@ class _GroupJob:
                     pass
 
     def _finish_replay(self, pcm, meta, coeffs, used, mvo):
-        """Native plan replay: expand metadata to per-lane plan arrays
-        and emit the wire payloads in one C++ pass."""
-        from .runtime.native import emit_blocks_native
-
-        enc, n = self.enc, self.n
-        B = pcm.shape[0]
-        sel = meta[:, 0].astype(np.int32)
-        best_p = meta[:, 1].astype(np.int32)
-        assert np.all(meta[:, 2] != 0), "in-range lanes only (ladder lanes replan on host)"
-        max_p0 = (
-            max_partition_order_for_block(n)
-            if (enc.partitioning_enabled and n >= C.MIN_PARTITION_SIZE)
-            else 0
+        enc = self.enc
+        return replay_payloads(
+            pcm, meta, coeffs, used, mvo, self.n, enc.partitioning_enabled, enc.thread_count
         )
-        max_parts = 1 << max_p0
-        modes = np.zeros((B, 256), np.uint8)
-        ks = np.zeros((B, 256), np.uint8)
-        modes[:, :max_parts] = meta[:, 3 : 3 + max_parts]
-        ks[:, :max_parts] = meta[:, 3 + max_parts : 3 + 2 * max_parts]
-
-        pt_tab = np.asarray([t for t, _ in _CANDIDATES], np.uint8)
-        op_tab = np.asarray([o for _, o in _CANDIDATES], np.uint8)
-        ptype = pt_tab[sel]
-        order = op_tab[sel].astype(np.int32)
-        lanes = np.arange(B)
-        lpc_mask = sel >= _LPC_BASE
-        li = np.clip(sel - _LPC_BASE, 0, len(C.LPC_ORDER_CANDIDATES) - 1)
-        used_sel = used[li, lanes]
-        order = np.where(lpc_mask, np.clip(used_sel, 1, mvo), order).astype(np.uint8)
-        coeffs_lane = np.zeros((B, 33), np.int16)
-        coeffs_lane[:, :13] = np.where(lpc_mask[:, None], coeffs[li, lanes, :], np.int16(0))
-
-        payloads = emit_blocks_native(
-            pcm, ptype, order, coeffs_lane, best_p.astype(np.uint8), modes, ks,
-            enc.thread_count,
-        )
-        if payloads is None:  # native vanished mid-flight: no replay data
-            raise RuntimeError("native emitter unavailable")
-        return payloads
 
     def _ladder_replan(self, pcm_rows, coeffs_rows, used_rows, lvalid_rows, mvo):
         """Per-lane LPC residual-overflow fallback (lpc.cpp:188-229).
@@ -676,10 +722,12 @@ class _GroupJob:
 class ChannelBlockEncoder:
     """Encodes groups of equal-length channel blocks to wire payloads."""
 
-    def __init__(self, zero_run_enabled=True, partitioning_enabled=True, xp=np, thread_count=0):
+    def __init__(self, zero_run_enabled=True, partitioning_enabled=True, xp=np, thread_count=0,
+                 mesh=None):
         self.zero_run_enabled = bool(zero_run_enabled)
         self.partitioning_enabled = bool(partitioning_enabled)
         self.thread_count = int(thread_count)  # host worker cap (0 = auto)
+        self.mesh = mesh
         self.xp = xp
         if is_jax(xp):
             from . import configure_jax
@@ -691,31 +739,18 @@ class ChannelBlockEncoder:
         arrays. ``precomputed_R`` skips the lag computation (pipelined
         jobs fetch it asynchronously)."""
         B = pcm_np.shape[0]
-        ncl = len(C.LPC_ORDER_CANDIDATES)
-        coeffs = np.zeros((ncl, B, 13), dtype=np.int16)
-        used = np.zeros((ncl, B), dtype=np.int32)
-        valid = np.zeros((ncl, B), dtype=bool)
         max_valid_order = min(32, n - 1) if n > 1 else 0
         if not any(c <= max_valid_order for c in C.LPC_ORDER_CANDIDATES):
-            return coeffs, used, valid, max_valid_order
+            ncl = len(C.LPC_ORDER_CANDIDATES)
+            return (np.zeros((ncl, B, 13), np.int16), np.zeros((ncl, B), np.int32),
+                    np.zeros((ncl, B), bool), max_valid_order)
         if precomputed_R is not None:
             R = precomputed_R
         elif is_jax(self.xp):
             R = np.asarray(_jitted_autocorr(12)(self.xp.asarray(pcm_np)))[:B]
         else:
             R = lpc.autocorrelation(pcm_np, 12)
-        Rld = np.asarray(R, dtype=np.longdouble)
-        Rld[:, 0] = np.maximum(Rld[:, 0], np.longdouble(1))
-        A, break_step = lpc.levinson_durbin_snapshots(Rld, 12)
-        analysis = {"A": A, "break_step": break_step}
-        for li, cand in enumerate(C.LPC_ORDER_CANDIDATES):
-            if cand > max_valid_order:
-                continue
-            cc, ach, stable = lpc.candidate_coeffs_q15(analysis, cand)
-            coeffs[li, :, : cand + 1] = cc
-            used[li] = ach
-            valid[li] = stable
-        return coeffs, used, valid, max_valid_order
+        return lpc_candidates_from_lags(R, n)
 
     # device batch buckets: groups are padded up to the next power of two
     # (and chunked above a ~2M-element cap) so XLA compiles one
@@ -883,14 +918,18 @@ class FrameEncoder:
     """
 
     def __init__(self, order=12, stereo_mode=C.STEREO_PER_BLOCK, sample_rate=44100,
-                 bit_depth=16, xp=np):
+                 bit_depth=16, xp=np, mesh=None):
         self.order = order
         self.stereo_mode = stereo_mode
         self.sample_rate = sample_rate
         self.bit_depth = bit_depth
+        self.mesh = mesh  # optional jax.sharding.Mesh: shard plan batches
         self.zero_run_enabled = True
         self.partitioning_enabled = True
         self.thread_count = 0
+        self.debug_lpc = False
+        self.debug_stereo_est = False
+        self.debug_partitions = False
         self.xp = xp
 
     def set_zero_run_enabled(self, enabled):
@@ -901,6 +940,21 @@ class FrameEncoder:
 
     def set_thread_count(self, n):
         self.thread_count = n
+
+    def set_debug_lpc(self, enabled):
+        self.debug_lpc = enabled
+
+    def set_debug_stereo_est(self, enabled):
+        self.debug_stereo_est = enabled
+
+    def set_debug_partitions(self, enabled):
+        self.debug_partitions = enabled
+
+    def set_mesh(self, mesh):
+        """Shard every plan batch over ``mesh`` (1-D device mesh, block
+        axis = data parallelism). Output bytes are identical to the
+        single-device path — sharding must never change the stream."""
+        self.mesh = mesh
 
     def _validate(self, left, right):
         if len(left) == 0:
@@ -941,6 +995,23 @@ class FrameEncoder:
         sizes = [min(C.MAX_BLOCK_SIZE, n - s) for s in starts]
         nblocks = len(starts)
 
+        # device-resident plane pipeline for the full-size block prefix:
+        # planes (L/R/M/S), stereo decisions, probes, and plans all stay
+        # on device; only flags/lags/plan metadata cross the tunnel.
+        plane_payloads, plane_flags, plane_uncertain = {}, {}, {}
+        nfull = nblocks - (1 if sizes[-1] != C.MAX_BLOCK_SIZE else 0)
+        from . import device_pipeline as _dp
+
+        if nfull >= 1 and _dp.applicable(self, nfull):
+            kind = (
+                "mono" if not is_stereo
+                else ("ms" if force_ms else ("auto" if per_block else "lr"))
+            )
+            with _dbg.phase("plane_pipeline"):
+                plane_payloads, plane_flags, plane_uncertain = _dp.encode_full_blocks(
+                    self, left, right, nfull, kind
+                )
+
         # ---------------- lane planning
         # each lane: (block_idx, slot, start, size, data_kind)
         # slots order the channel payloads inside a block.
@@ -973,7 +1044,10 @@ class FrameEncoder:
             # chunks fanned over a thread pool (numpy releases the GIL
             # on the big elementwise passes), odd-sized tail separately
             decisions = [None] * nblocks
-            full = [bi for bi, sz in enumerate(sizes) if sz == C.MAX_BLOCK_SIZE]
+            full = [
+                bi for bi, sz in enumerate(sizes)
+                if sz == C.MAX_BLOCK_SIZE and bi not in plane_payloads
+            ]
             if full:
                 nfull = len(full)
                 lmat = left[: nfull * C.MAX_BLOCK_SIZE].reshape(nfull, C.MAX_BLOCK_SIZE)
@@ -998,7 +1072,7 @@ class FrameEncoder:
                     for j in range(lo, hi):
                         decisions[full[j]] = (bool(cm[j - lo]), bool(un[j - lo]))
             for bi, (s, sz) in enumerate(zip(starts, sizes)):
-                if decisions[bi] is None:
+                if decisions[bi] is None and bi not in plane_payloads:
                     cm, un = estimate_stereo_mode(
                         left[s : s + sz][None, :], right[s : s + sz][None, :], np.ones((1, sz), bool)
                     )
@@ -1007,6 +1081,10 @@ class FrameEncoder:
         _lane_phase = _dbg.phase("lane_build")
         _lane_phase.__enter__()
         for bi, (s, sz) in enumerate(zip(starts, sizes)):
+            if bi in plane_payloads:
+                if per_block:
+                    block_flags[bi] = plane_flags[bi]
+                continue
             if not is_stereo:
                 add_lane(bi, 0, left[s : s + sz])
             elif force_ms or (per_block and not decisions[bi][1] and decisions[bi][0]):
@@ -1048,7 +1126,8 @@ class FrameEncoder:
         _lane_phase.__exit__(None, None, None)
 
         enc = ChannelBlockEncoder(
-            self.zero_run_enabled, self.partitioning_enabled, xp=xp, thread_count=self.thread_count
+            self.zero_run_enabled, self.partitioning_enabled, xp=xp,
+            thread_count=self.thread_count, mesh=self.mesh
         )
 
         def encode_lanes(data_list):
@@ -1095,6 +1174,8 @@ class FrameEncoder:
         block_channel_payloads = {}
         for bi in range(nblocks):
             block_channel_payloads[bi] = {}
+        for bi, chans in plane_payloads.items():
+            block_channel_payloads[bi].update(chans)
         for (bi, slot), pb in zip(lane_meta, lane_payloads):
             block_channel_payloads[bi][slot] = pb
 
@@ -1124,6 +1205,53 @@ class FrameEncoder:
             block_flags[bi] = 1 if choose_ms else 0
             for slot, pb in spec_by_block[bi]["ms" if choose_ms else "lr"].items():
                 block_channel_payloads[bi][slot] = pb
+
+        # ---------------- debug observability (reference debug-build
+        # analogs: [stereo-est] lac/encoder.cpp:356-380; [debug-lpc]
+        # block/encoder.cpp:824-835; [part-plan] block/encoder.cpp:558-582).
+        # Everything printed is actual wire data / measured decisions.
+        if self.debug_stereo_est and is_stereo:
+            for bi in range(nblocks):
+                flag = block_flags[bi]
+                chosen = "MS" if (force_ms or flag == 1) else "LR"
+                if per_block:
+                    if bi in plane_uncertain:
+                        un_flag = int(plane_uncertain[bi])
+                    else:
+                        un_flag = int(decisions[bi][1]) if decisions[bi] else 0
+                    _dbg.debug_log(
+                        f"[stereo-est] block={bi} uncertain={un_flag} chosen={chosen}"
+                    )
+                _dbg.debug_log(
+                    f"[stereo-mode] global={stereo_mode} block={bi} mode_used={chosen}"
+                )
+        if self.debug_lpc or self.debug_partitions:
+            from .format.inspect import parse_block_header
+
+            for bi in range(nblocks):
+                chans = block_channel_payloads[bi]
+                for slot in sorted(chans):
+                    info = parse_block_header(chans[slot], sizes[bi])
+                    if info is None:
+                        continue
+                    if self.debug_lpc:
+                        _dbg.debug_log(
+                            f"[debug-lpc] block={sizes[bi]}"
+                            f" chosen_order={info['order']}"
+                            f" predictor={info['ptype']}"
+                            f" part_order={info['partition_order']}"
+                            f" bytes={len(chans[slot])}"
+                        )
+                    if self.debug_partitions:
+                        parts = " ".join(
+                            f"[{i} mode={m} k={k} len={ln}]"
+                            for i, (m, k, ln) in enumerate(info["partitions"])
+                        )
+                        _dbg.debug_log(
+                            f"[part-plan] block={bi} ch={slot}"
+                            f" order={info['partition_order']}"
+                            f" parts={len(info['partitions'])} {parts}"
+                        )
 
         # ---------------- assembly
         from .bitio import BitWriter

@@ -20,6 +20,23 @@ import numpy as np
 
 from ..format import constants as C
 
+# Byte parity depends on np.longdouble being the x87 80-bit extended type
+# (matching the reference's `long double` on x86-64). On aarch64/Windows
+# longdouble is 64- or 128-bit and would silently produce near-but-not-
+# byte-identical streams — fail loudly instead (machep -63 <=> 64-bit
+# mantissa).
+_LD_MACHEP = np.finfo(np.longdouble).machep
+
+
+def _require_x87_longdouble():
+    if _LD_MACHEP != -63:
+        raise RuntimeError(
+            "np.longdouble is not the x86 80-bit extended type on this host "
+            f"(machep {_LD_MACHEP}, expected -63): Levinson-Durbin would "
+            "diverge from the reference's long double and break .lac byte "
+            "parity. Run the encoder on an x86-64 host."
+        )
+
 
 def autocorrelation(x, max_order, xp=np):
     """Exact int64 lags 0..max_order: R[k] = sum_n x[n] * x[n-k].
@@ -53,6 +70,7 @@ def levinson_durbin_snapshots(R, max_order):
     inner products accumulated in ascending-j order (FP order matters),
     energy floor R[0] -> max(R[0], 1.0) applied by the caller.
     """
+    _require_x87_longdouble()
     ld = np.longdouble
     R = np.asarray(R, dtype=ld)
     B = R.shape[0]

@@ -42,25 +42,30 @@ except ImportError:  # pragma: no cover - older jax
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_plan_fn(mesh, n, zero_run_enabled, partitioning_enabled):
+def _sharded_plan_fn(mesh, n, zero_run_enabled, partitioning_enabled, emit_fields=True):
 
     def local(pcm, lpc_coeffs, lpc_valid):
-        plan = plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, jnp)
+        plan = plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_enabled, jnp,
+                          emit_fields=emit_fields)
         # aggregate stat across chips (exercises an ICI collective;
         # correctness never depends on it): total unary+field bits of
-        # the compact ship buffer's token payloads
-        shipv = plan["ship"].reshape(pcm.shape[0], n, 6)
-        k = shipv[..., 5].astype(jnp.uint32)
-        payload = (
-            shipv[..., 0].astype(jnp.uint32)
-            | (shipv[..., 1].astype(jnp.uint32) << jnp.uint32(8))
-            | (shipv[..., 2].astype(jnp.uint32) << jnp.uint32(16))
-            | (shipv[..., 3].astype(jnp.uint32) << jnp.uint32(24))
-        )
-        cls = shipv[..., 4] & jnp.uint8(7)
-        rice_like = cls == 0
-        approx = jnp.where(rice_like, (payload >> k) + k + jnp.uint32(1), jnp.uint32(2))
-        local_bits = jnp.sum(approx.astype(jnp.uint64))
+        # the compact ship buffer's token payloads — or, in metadata-only
+        # replay mode, the psum'd count of planned lanes
+        if emit_fields:
+            shipv = plan["ship"].reshape(pcm.shape[0], n, 6)
+            k = shipv[..., 5].astype(jnp.uint32)
+            payload = (
+                shipv[..., 0].astype(jnp.uint32)
+                | (shipv[..., 1].astype(jnp.uint32) << jnp.uint32(8))
+                | (shipv[..., 2].astype(jnp.uint32) << jnp.uint32(16))
+                | (shipv[..., 3].astype(jnp.uint32) << jnp.uint32(24))
+            )
+            cls = shipv[..., 4] & jnp.uint8(7)
+            rice_like = cls == 0
+            approx = jnp.where(rice_like, (payload >> k) + k + jnp.uint32(1), jnp.uint32(2))
+            local_bits = jnp.sum(approx.astype(jnp.uint64))
+        else:
+            local_bits = jnp.uint64(pcm.shape[0])
         plan["total_token_bits"] = jax.lax.psum(local_bits, BLOCK_AXIS)
         return plan
 
@@ -75,13 +80,16 @@ def _sharded_plan_fn(mesh, n, zero_run_enabled, partitioning_enabled):
 
 
 def plan_group_sharded(mesh, pcm, lpc_coeffs, lpc_valid, n,
-                       zero_run_enabled=True, partitioning_enabled=True):
+                       zero_run_enabled=True, partitioning_enabled=True,
+                       emit_fields=True):
     """Run the full encode plan with the batch axis sharded over ``mesh``.
 
     ``pcm``: (B, n) with B divisible by the mesh size; LPC inputs as in
-    :func:`lac_tpu.encoder.plan_group`.
+    :func:`lac_tpu.encoder.plan_group`. ``emit_fields=False`` returns
+    plan metadata only (the native-replay product path).
     """
-    fn = _sharded_plan_fn(mesh, n, bool(zero_run_enabled), bool(partitioning_enabled))
+    fn = _sharded_plan_fn(mesh, n, bool(zero_run_enabled), bool(partitioning_enabled),
+                          bool(emit_fields))
     with mesh:
         sharding = NamedSharding(mesh, P(BLOCK_AXIS))
         pcm = jax.device_put(jnp.asarray(pcm), sharding)

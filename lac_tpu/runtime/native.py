@@ -27,13 +27,28 @@ _tried = False
 def _build_library():
     src = _SRC.read_bytes()
     tag = hashlib.sha256(src).hexdigest()[:16]
+    # LAC_TPU_SANITIZE=1 builds the runtime under ASan+UBSan (the
+    # reference runs its whole suite sanitized, ci.yml:79-101). The
+    # sanitized .so needs libasan/libubsan preloaded into the host
+    # process: LD_PRELOAD="$(g++ -print-file-name=libasan.so) $(g++
+    # -print-file-name=libubsan.so)" ASAN_OPTIONS=detect_leaks=0.
+    sanitize = os.environ.get("LAC_TPU_SANITIZE") == "1"
+    if sanitize:
+        tag += "-san"
     out = _BUILD / f"lac_runtime-{tag}.so"
     if out.exists():
         return out
     _BUILD.mkdir(exist_ok=True)
     tmp = out.with_suffix(".so.tmp")
+    if sanitize:
+        opts = [
+            "-O1", "-g", "-fno-omit-frame-pointer",
+            "-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+        ]
+    else:
+        opts = ["-O3", "-march=native"]
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
+        "g++", *opts, "-std=c++17", "-shared", "-fPIC",
         "-pthread", str(_SRC), "-o", str(tmp),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -88,12 +103,32 @@ def get_native():
         lib.lac_pack_streams_sizes.argtypes = [u32p, u8p, u64p, ctypes.c_uint32, u64p]
         lib.lac_pack_streams.restype = None
         lib.lac_pack_streams.argtypes = [u32p, u32p, u8p, u64p, ctypes.c_uint32, u8p, u64p, ctypes.c_int32]
+        lib.lac_thread_collector_reset.restype = None
+        lib.lac_thread_collector_reset.argtypes = []
+        lib.lac_thread_collector_count.restype = ctypes.c_uint64
+        lib.lac_thread_collector_count.argtypes = []
         _lib = lib
         return _lib
 
 
 def native_available() -> bool:
     return get_native() is not None
+
+
+def thread_collector_reset() -> None:
+    """Clear the native pools' measured worker-id set (reference
+    ThreadCollector analog, thread_collector.hpp:8-23)."""
+    lib = get_native()
+    if lib is not None:
+        lib.lac_thread_collector_reset()
+
+
+def thread_collector_count() -> int:
+    """Distinct worker threads observed by native pools since the last
+    reset; 0 when no native pool ran (callers treat that as 1 serial
+    host worker)."""
+    lib = get_native()
+    return int(lib.lac_thread_collector_count()) if lib is not None else 0
 
 
 def _ptr(arr, ctype):

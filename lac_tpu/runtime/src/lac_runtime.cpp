@@ -15,6 +15,8 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
+#include <set>
 #include <thread>
 #include <vector>
 
@@ -464,7 +466,30 @@ inline bool pcm_in_range(const int32_t* x, uint32_t n, uint32_t depth) {
 
 // ==================================================================== C API
 
+
+namespace {
+// Measured worker-id collector for --debug-threads (reference
+// ThreadCollector, thread_collector.hpp:8-23). Reset by the host before
+// an encode/decode; every pool worker notes its own id once.
+std::mutex g_tc_mu;
+std::set<std::thread::id> g_tc_ids;
+inline void tc_note() {
+  std::lock_guard<std::mutex> lk(g_tc_mu);
+  g_tc_ids.insert(std::this_thread::get_id());
+}
+}  // namespace
+
 extern "C" {
+
+void lac_thread_collector_reset() {
+  std::lock_guard<std::mutex> lk(g_tc_mu);
+  g_tc_ids.clear();
+}
+
+uint64_t lac_thread_collector_count() {
+  std::lock_guard<std::mutex> lk(g_tc_mu);
+  return g_tc_ids.size();
+}
 
 // decode a batch of byte-bounded v3 block payloads into channel planes.
 // returns 0 on success; -(block_index+1) identifies the first failing block.
@@ -488,6 +513,7 @@ int lac_decode_v3_blocks(const uint8_t* payload,
   std::atomic<int> status{0};
 
   auto worker = [&]() {
+    tc_note();
     while (status.load(std::memory_order_relaxed) == 0) {
       const uint32_t bi = next.fetch_add(1, std::memory_order_relaxed);
       if (bi >= block_count) return;
@@ -626,6 +652,7 @@ int lac_tokenize_v3_blocks(const uint8_t* payload,
   std::atomic<int> status{0};
 
   auto worker = [&]() {
+    tc_note();
     while (status.load(std::memory_order_relaxed) == 0) {
       const uint32_t bi = next.fetch_add(1, std::memory_order_relaxed);
       if (bi >= block_count) return;
@@ -724,6 +751,11 @@ inline uint32_t zigzag_u(int32_t v) {
 }
 
 inline void rice_emit(BitSink& w, uint32_t u, uint32_t k) {
+  // The shift guard is k >= 32 to mirror the reference *emitter*
+  // (Rice::encode, rice.cpp:23), which emits q = u >> 31 at k == 31.
+  // The planner's cost model instead forces q = 0 at k >= 31 — that
+  // asymmetry is the reference's own (encoder.cpp:68,80,132) and both
+  // sides must be reproduced exactly for byte parity.
   const uint32_t q = (k >= 32u) ? 0u : (u >> k);
   w.ones(q);
   w.bits(0, 1);
@@ -864,6 +896,7 @@ int lac_emit_blocks(const int32_t* pcm,  // (B, n) row-major
   std::atomic<uint32_t> next{0};
   std::atomic<int> status{0};
   auto worker = [&]() {
+    tc_note();
     std::vector<int32_t> res(n);
     while (status.load(std::memory_order_relaxed) == 0) {
       const uint32_t b = next.fetch_add(1, std::memory_order_relaxed);
@@ -988,6 +1021,7 @@ void lac_pack_streams(const uint32_t* unary,
                       int32_t num_threads) {
   std::atomic<uint32_t> next{0};
   auto worker = [&]() {
+    tc_note();
     while (true) {
       const uint32_t s = next.fetch_add(1, std::memory_order_relaxed);
       if (s >= stream_count) return;

@@ -25,15 +25,36 @@ from lac_tpu.format import constants as C  # noqa: E402
 from lac_tpu import encoder as E  # noqa: E402
 
 
-def warm(n, buckets, emit_fields):
+def warm(n, buckets, emit_fields, dtype=np.int16):
     for b in buckets:
         t0 = time.time()
-        pcm = np.zeros((b, n), np.int16)
+        pcm = np.zeros((b, n), dtype)
         coeffs = np.zeros((5, b, 13), np.int16)
         valid = np.zeros((5, b), bool)
         fn = E._jitted_plan(n, True, True, emit_fields)
         jax.block_until_ready(fn(jax.device_put(pcm), jax.device_put(coeffs), jax.device_put(valid))["meta"])
-        print(f"plan n={n} B={b} emit_fields={emit_fields}: {time.time() - t0:.1f}s", flush=True)
+        print(f"plan n={n} B={b} emit={emit_fields} {np.dtype(dtype).name}: {time.time() - t0:.1f}s", flush=True)
+
+
+def warm_planes():
+    """Plane-pipeline executables (device_pipeline): analyze per stereo
+    kind/dtype, the row gathers, and the fixed plan batch shapes."""
+    from lac_tpu import device_pipeline as DP
+
+    K = DP.CHUNK_BLOCKS
+    rows128 = jax.device_put(np.zeros(K, np.int32))
+    for kind in ("auto", "lr", "ms", "mono"):
+        for dt in (np.int16, np.int32):
+            t0 = time.time()
+            lmat = jax.device_put(np.zeros((K, DP.N), dt))
+            out = DP._jitted_analyze(K, kind, str(np.dtype(dt)))(lmat, lmat)
+            jax.block_until_ready(out["lags"])
+            g = DP._jitted_gather(DP.N)(out["planes"], rows128)
+            jax.block_until_ready(g)
+            if kind == "auto":
+                probe_rows = jax.device_put(np.zeros(12 * K, np.int32))
+                jax.block_until_ready(DP._jitted_gather(DP.PROBE)(out["probes"], probe_rows))
+            print(f"analyze kind={kind} dtype={np.dtype(dt).name}: {time.time() - t0:.1f}s", flush=True)
 
 
 def main():
@@ -45,6 +66,11 @@ def main():
     from lac_tpu.runtime.native import native_available
 
     emit_fields = not native_available()
+    warm_planes()
+    # plane-pipeline plan shapes (int32 gathered rows, fixed batches)
+    warm(C.MAX_BLOCK_SIZE, (128,), emit_fields, np.int32)
+    warm(C.STEREO_PROBE_SIZE, (12 * 128,), emit_fields, np.int32)
+    # legacy group-path buckets (int16 when content fits, else int32)
     warm(C.MAX_BLOCK_SIZE, (1, 2, 4, 8, 16, 32, 64, 128), emit_fields)
     warm(C.STEREO_PROBE_SIZE, (16, 64, 256, 1024), emit_fields)
     print("cache warm.")

@@ -17,6 +17,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# the plane pipeline's production chunk width (128 blocks) would compile
+# a (128, 16384) planner on one CPU core — shrink it for the suite; the
+# pipeline logic is width-independent and byte-parity is asserted anyway
+os.environ.setdefault("LAC_TPU_CHUNK_BLOCKS", "16")
+
 import pathlib
 import subprocess
 

@@ -1,0 +1,97 @@
+"""Device-resident plane pipeline: byte parity with the legacy path.
+
+The plane pipeline (lac_tpu/device_pipeline.py) reroutes the full-block
+prefix of a jax-backend encode through on-device planes, stereo
+decisions, probes, and gathered plan batches. Its only contract is
+byte-identity: every frame must equal the numpy/legacy path (which the
+rest of the suite pins to the reference binary).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lac_tpu.encoder import FrameEncoder
+from lac_tpu import device_pipeline as DP
+from lac_tpu.runtime.native import native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="plane pipeline needs the native emitter"
+)
+
+
+def _signal(frames, seed, depth=16):
+    rng = np.random.RandomState(seed)
+    t = np.arange(frames, dtype=np.float64)
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t / 44100) + 0.2 * np.sin(2 * np.pi * 881 * t / 44100)
+    sig += 0.06 * rng.standard_normal(frames)
+    amp = 26000 if depth == 16 else 26000 * 256
+    lim = 32768 if depth == 16 else 1 << 23
+    l = np.clip(sig * amp, -lim, lim - 1).astype(np.int32)
+    r = np.clip(np.roll(sig, 5) * amp * 0.7 + rng.standard_normal(frames) * amp * 0.02,
+                -lim, lim - 1).astype(np.int32)
+    return l, r
+
+
+def _both(mode, depth, l, r=()):
+    a = FrameEncoder(12, mode, 44100, depth, xp=jnp).encode(l, r)
+    b = FrameEncoder(12, mode, 44100, depth, xp=np).encode(l, r)
+    return a, b
+
+
+def _gliding_corpus(frames, seed=0xC0DEC):
+    """Music-like gliding sines with an amplitude envelope: produces a
+    mix of certain-LR / certain-MS / uncertain (probe-resolved) blocks."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(frames, dtype=np.float64) / 44100
+    sig = np.zeros(frames)
+    for f0, f1, amp in ((220, 440, 0.3), (880, 860, 0.2), (3520, 3300, 0.08)):
+        freq = np.linspace(f0, f1, frames)
+        sig += amp * np.sin(2 * np.pi * np.cumsum(freq) / 44100)
+    noise = rng.standard_normal(frames)
+    for _ in range(2):
+        noise = 0.5 * noise + 0.5 * np.concatenate([[0.0], noise[:-1]])
+    sig += 0.05 * noise
+    env = 0.5 * (1 + np.sin(2 * np.pi * 0.37 * t))
+    l = np.clip(sig * env * 28000, -32768, 32767).astype(np.int32)
+    r = np.clip(np.roll(sig, 7) * env * 26500, -32768, 32767).astype(np.int32)
+    return l, r
+
+
+def test_auto_stereo_with_tail_matches_legacy():
+    l, r = _gliding_corpus(16384 * 9 + 5000)
+    # the corpus must exercise both certain and uncertain blocks
+    from lac_tpu.ops.stereo import estimate_stereo_mode
+
+    lm = l[: 9 * 16384].reshape(9, 16384)
+    rm = r[: 9 * 16384].reshape(9, 16384)
+    _, un = estimate_stereo_mode(lm, rm, np.ones_like(lm, bool))
+    assert 0 < un.sum() < 9, "corpus regressed: want a mix of certain/uncertain"
+    a, b = _both(2, 16, l, r)
+    assert a == b
+
+
+def test_forced_modes_and_mono_match_legacy():
+    l, r = _signal(16384 * 9, 4)  # exact multiple: no tail block
+    for mode in (0, 1):
+        a, b = _both(mode, 16, l, r)
+        assert a == b
+    a, b = _both(0, 16, l)
+    assert a == b
+
+
+def test_24bit_auto_matches_legacy():
+    l, r = _signal(16384 * 8 + 100, 5, depth=24)
+    a, b = _both(2, 24, l, r)
+    assert a == b
+
+
+def test_applicability_gates():
+    enc = FrameEncoder(12, 2, 44100, 16, xp=jnp)
+    assert DP.applicable(enc, DP.MIN_FULL_BLOCKS)
+    assert not DP.applicable(enc, DP.MIN_FULL_BLOCKS - 1)
+    enc_np = FrameEncoder(12, 2, 44100, 16, xp=np)
+    assert not DP.applicable(enc_np, 100)
+    enc.mesh = object()  # any configured mesh routes through parallel.mesh
+    assert not DP.applicable(enc, 100)

@@ -46,6 +46,34 @@ def test_sharded_plan_matches_single_device():
     np.testing.assert_array_equal(np.asarray(sharded["meta"]), np.asarray(single["meta"]))
 
 
+@needs_devices
+def test_frame_encoder_mesh_is_product_path():
+    """FrameEncoder with a mesh shards the full-block plan batches over
+    8 devices and must produce byte-identical frames (single + batch)."""
+    import jax.numpy as jnp
+
+    from lac_tpu.batch import encode_batch
+    from lac_tpu.encoder import FrameEncoder
+    from lac_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(21)
+    n = 16384 * 12 + 5000  # 12 full blocks + tail
+    t = np.arange(n, dtype=np.float64)
+    sig = np.sin(2 * np.pi * 440 * t / 44100) * 18000 + rng.standard_normal(n) * 400
+    l = np.clip(sig, -32768, 32767).astype(np.int32)
+    r = np.clip(np.roll(sig, 9) * 0.8, -32768, 32767).astype(np.int32)
+
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = FrameEncoder(12, 2, 44100, 16, xp=jnp, mesh=mesh).encode(l, r)
+    single = FrameEncoder(12, 2, 44100, 16, xp=jnp).encode(l, r)
+    assert sharded == single
+
+    files = [(l[: 16384 * 9], r[: 16384 * 9]), (l[5:], r[5:]), (l, np.empty(0, np.int32))]
+    batch_sharded = encode_batch(files, 44100, 16, xp=jnp, mesh=mesh)
+    batch_single = encode_batch(files, 44100, 16, xp=jnp)
+    assert batch_sharded == batch_single
+
+
 def test_thread_count_invariance():
     """Worker caps must not change any byte (decode + emit pools)."""
     from lac_tpu.decoder import FrameDecoder

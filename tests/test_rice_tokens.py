@@ -90,16 +90,14 @@ class IndependentTokenParser:
 
 
 def test_bin_mode_token_layout():
-    # sparse +-1/+-2 signal drives bin mode; verify tag/sign layout
-    sig = np.zeros(600, np.int32)
-    sig[5::7] = 1
-    sig[9::11] = -1
-    sig[13::13] = 2
-    sig[17::17] = -2
+    # dense +-2 with sparse +-1: bin's flat 3-bit tags beat every rice k
+    # (u in {3,4} costs >= 3.5 avg under rice/static), so mode 2 is
+    # provably selected — the layout check below must always run
+    rng = np.random.RandomState(9)
+    sig = rng.choice([-2, 2], 600).astype(np.int32)
+    sig[rng.random(600) < 0.05] = rng.choice([-1, 1])
     data = ChannelBlockEncoder(zero_run_enabled=False, partitioning_enabled=False).encode_group(sig[None, :])[0]
     p = IndependentTokenParser(data)
-    assert p.uint(8) == C.PREDICTOR_FIXED or True  # predictor byte
-    p.pos = 0
     ptype = p.uint(8)
     order = p.uint(8)
     if ptype == C.PREDICTOR_LPC:
@@ -108,17 +106,12 @@ def test_bin_mode_token_layout():
     control = p.uint(8)
     mode = (control >> 5) & 3
     p.uint(7)  # metadata (1 partition)
-    if mode != C.MODE_BIN:
-        pytest.skip(f"encoder chose mode {mode} for this signal")
+    assert mode == C.MODE_BIN, f"corpus regressed: encoder chose mode {mode}"
     # re-derive residual from chosen predictor order on the original
     from lac_tpu.ops import predictors
 
-    if ptype == C.PREDICTOR_FIXED:
-        res = np.asarray(predictors.fixed_residual(sig[None, :], order))[0]
-    elif ptype == C.PREDICTOR_FIR:
-        res = np.asarray(predictors.fir_residual(sig[None, :]))[0]
-    else:
-        pytest.skip("lpc residual not re-derived here")
+    assert ptype == C.PREDICTOR_FIXED, f"expected a fixed predictor, got {ptype}"
+    res = np.asarray(predictors.fixed_residual(sig[None, :], order))[0]
     st, total, k = StatefulAdapt(), 0, None
     # initial k from metadata
     p2 = IndependentTokenParser(data)
@@ -160,8 +153,7 @@ def test_zero_run_token_layout():
     control = p.uint(8)
     md = p.uint(7)
     mode = (control >> 5) & 3
-    if mode != C.MODE_ZERO_RUN:
-        pytest.skip(f"encoder chose mode {mode}")
+    assert mode == C.MODE_ZERO_RUN, f"corpus regressed: encoder chose mode {mode}"
     # first token should be a run token (leading zeros >= 4)
     assert p.take(2) == "01"
 
