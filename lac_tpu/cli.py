@@ -198,7 +198,6 @@ def _cmd_encode(argv) -> int:
 
 def _cmd_decode(argv) -> int:
     from .decoder import DecodeError, FrameDecoder
-    from .io import write_wav_unchecked_samples
 
     if len(argv) < 2:
         _usage()
@@ -236,22 +235,25 @@ def _cmd_decode(argv) -> int:
         decoder = FrameDecoder()
         decoder.set_thread_count(thread_count)
         try:
-            left, right, hdr = decoder.decode(data)
+            # memory-bounded streaming decode straight into the staged
+            # file (reference mmap fast path analog, main.cpp:184-430)
+            res = decoder.decode_to_wav(data, staged.path())
         except DecodeError as e:
             sys.stderr.write(f"Decode failed: {str(e).replace('[decode-error] ', '')}\n")
             return 1
-        if len(left) == 0:
-            sys.stderr.write("Decode failed or produced no samples\n")
-            return 1
-        if not write_wav_unchecked_samples(
-            staged.path(), left, right, hdr.channels, hdr.sample_rate, hdr.bit_depth
-        ):
+        if res is None:
             sys.stderr.write(f"Failed to write WAV: {out_path}\n")
+            return 1
+        samples_per_channel, hdr = res
+        if samples_per_channel == 0:
+            sys.stderr.write("Decode failed or produced no samples\n")
             return 1
         if not staged.publish(in_path):
             sys.stderr.write(f"Failed to write WAV: {out_path}\n")
             return 1
-    sys.stdout.write(f"Decoded {in_path} -> {out_path} ({len(left)} samples per channel)\n")
+    sys.stdout.write(
+        f"Decoded {in_path} -> {out_path} ({samples_per_channel} samples per channel)\n"
+    )
     if debug_threads:
         from .runtime.native import thread_collector_count
 

@@ -312,11 +312,12 @@ class FrameDecoder:
     def set_thread_count(self, n):
         self.thread_count = n
 
-    def decode(self, data: bytes):
-        """-> (left int32 array, right int32 array, FrameHeader).
-
-        Raises DecodeError on any invalid input.
-        """
+    def _parse_frame(self, data: bytes):
+        """Parse+validate the frame header and block table
+        (lac/decoder.cpp:76-148,220-234). Returns ``(hdr, br, payload,
+        block_sizes, payload_sizes)`` with ``br`` positioned after the
+        table; ``payload_sizes`` is empty for v2 streams. Raises
+        DecodeError on any invalid input."""
         if not data:
             raise DecodeError("[decode-error] empty input")
         parsed = FrameHeader.parse(data)
@@ -361,6 +362,18 @@ class FrameDecoder:
         wav_data = total_samples * hdr.channels * (hdr.bit_depth // 8)
         if 36 + wav_data + (wav_data & 1) > 0xFFFFFFFF:
             raise DecodeError("[decode-error] decoded WAV data exceeds RIFF limit")
+        return hdr, br, payload, block_sizes, payload_sizes
+
+    def decode(self, data: bytes):
+        """-> (left int32 array, right int32 array, FrameHeader).
+
+        Raises DecodeError on any invalid input.
+        """
+        hdr, br, payload, block_sizes, payload_sizes = self._parse_frame(data)
+        block_count = len(block_sizes)
+        has_sizes = hdr.version >= 3
+        total_samples = sum(block_sizes)
+        total_payload = sum(payload_sizes)
 
         is_stereo = hdr.channels == 2
         per_block = is_stereo and hdr.stereo_mode == C.STEREO_PER_BLOCK
@@ -466,3 +479,107 @@ class FrameDecoder:
         if is_stereo and len(right) != len(left):
             raise DecodeError("[decode-error] stereo channel size mismatch")
         return left, right, hdr
+
+    def decode_to_wav(self, data: bytes, path: str):
+        """Memory-bounded decode straight into a WAV file at ``path``.
+
+        Behavioral analog of the reference CLI's mmap fast path
+        (main.cpp:184-430): v3 payloads decode chunk-of-blocks at a time
+        through the native parallel decoder and the PCM bytes stream
+        sequentially into the file, so peak memory is O(input bytes +
+        one chunk), never 2x the decoded PCM. v2 streams (and hosts
+        without the native runtime) fall back to the in-memory decode +
+        canonical writer, exactly like the reference falls back to its
+        library decoder for v2 (main.cpp:769-784).
+
+        Returns ``(samples_per_channel, FrameHeader)``, or ``None`` when
+        the file could not be written. Raises DecodeError on any invalid
+        input (the file is left partially written; callers publish via
+        staged output, so a failure never clobbers anything).
+        """
+        import os as _os
+
+        from .io.wav import _pcm_bytes, write_wav_unchecked_samples
+        from .runtime.native import decode_v3_blocks_native, native_available
+
+        hdr, br, payload, block_sizes, payload_sizes = self._parse_frame(data)
+        streaming = (
+            hdr.version >= 3
+            and self.backend == "native"
+            and self.use_native
+            and native_available()
+        )
+        if not streaming:
+            left, right, hdr = self.decode(data)
+            ok = write_wav_unchecked_samples(
+                path, left, right, hdr.channels, hdr.sample_rate, hdr.bit_depth
+            )
+            return (len(left), hdr) if ok else None
+
+        if br.bits_remaining() % 8 != 0:
+            raise DecodeError("[decode-error] unaligned compressed block payload")
+        avail = br.bits_remaining() // 8
+        if sum(payload_sizes) != avail:
+            raise DecodeError("[decode-error] compressed block sizes do not match frame payload")
+        block_payload = payload[len(payload) - avail :]
+
+        total_samples = sum(block_sizes)
+        block_align = hdr.channels * (hdr.bit_depth // 8)
+        data_size = total_samples * block_align
+        data_padding = data_size & 1
+        riff_size = 36 + data_size + data_padding
+
+        chunk_target = int(_os.environ.get("LAC_TPU_DECODE_CHUNK_SAMPLES", str(1 << 22)))
+        chunk_target = max(chunk_target, C.MAX_BLOCK_SIZE)
+        bs = np.asarray(block_sizes, dtype=np.int64)
+        ps = np.asarray(payload_sizes, dtype=np.int64)
+        sample_off = np.concatenate([[0], np.cumsum(bs)])
+        payload_off = np.concatenate([[0], np.cumsum(ps)])
+
+        try:
+            with open(path, "wb") as f:
+                f.write(b"RIFF")
+                f.write(riff_size.to_bytes(4, "little"))
+                f.write(b"WAVE")
+                f.write(b"fmt ")
+                f.write((16).to_bytes(4, "little"))
+                f.write((1).to_bytes(2, "little"))
+                f.write(hdr.channels.to_bytes(2, "little"))
+                f.write(hdr.sample_rate.to_bytes(4, "little"))
+                f.write((hdr.sample_rate * block_align).to_bytes(4, "little"))
+                f.write(block_align.to_bytes(2, "little"))
+                f.write(hdr.bit_depth.to_bytes(2, "little"))
+                f.write(b"data")
+                f.write(data_size.to_bytes(4, "little"))
+
+                nb = len(block_sizes)
+                b0 = 0
+                while b0 < nb:
+                    b1 = b0 + 1
+                    while b1 < nb and sample_off[b1 + 1] - sample_off[b0] <= chunk_target:
+                        b1 += 1
+                    chunk_samples = int(sample_off[b1] - sample_off[b0])
+                    sub_payload = block_payload[int(payload_off[b0]) : int(payload_off[b1])]
+                    try:
+                        left, right = decode_v3_blocks_native(
+                            sub_payload,
+                            payload_off[b0:b1] - payload_off[b0],
+                            ps[b0:b1],
+                            bs[b0:b1],
+                            sample_off[b0:b1] - sample_off[b0],
+                            hdr.channels,
+                            hdr.stereo_mode,
+                            hdr.bit_depth,
+                            chunk_samples,
+                            self.thread_count,
+                        )
+                    except ValueError as e:
+                        bad = b0 + int(str(e).split("=")[1])
+                        raise DecodeError(f"[decode-error] block={bad} channel=primary")
+                    f.write(_pcm_bytes(left, right, hdr.channels, hdr.bit_depth))
+                    b0 = b1
+                if data_padding:
+                    f.write(b"\x00")
+        except OSError:
+            return None
+        return total_samples, hdr

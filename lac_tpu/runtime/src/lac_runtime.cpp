@@ -136,12 +136,49 @@ inline bool read_rice_u(Reader& r, uint32_t k, uint32_t& value) {
 
 // ------------------------------------------------------------- adaptation
 
+// Exact incremental floor-mean: maintains mean = floor(num/count) and
+// rem = num - mean*count across (num, count) updates where count grows
+// by 1 per step. The rolling mean moves slowly, so a couple of add/cmp
+// steps replace the u64 division that otherwise dominates the serial
+// emit/decode loops; a real division is the fallback for jumps.
+struct MeanDiv {
+  uint64_t mean = 0;
+  uint64_t prev_num = 0;
+  int64_t rem = 0;  // invariant: 0 <= rem < count after update()
+
+  inline uint64_t update(uint64_t num, uint32_t count) {
+    int64_t r = rem + static_cast<int64_t>(num - prev_num) - static_cast<int64_t>(mean);
+    prev_num = num;
+    const int64_t c = static_cast<int64_t>(count);
+    int spins = 4;
+    while (r >= c && spins-- > 0) { r -= c; ++mean; }
+    while (r < 0 && spins-- > 0) { r += c; --mean; }
+    if (r < 0 || r >= c) {  // far jump: one real division resyncs
+      mean = (num <= 0xFFFFFFFFull) ? (static_cast<uint32_t>(num) / count)
+                                    : (num / count);
+      r = static_cast<int64_t>(num - mean * count);
+    }
+    rem = r;
+    return mean;
+  }
+
+  // count jumped by more than 1 (zero-run bulk skip): resync by division
+  inline uint64_t resync(uint64_t num, uint32_t count) {
+    prev_num = num;
+    mean = (num <= 0xFFFFFFFFull) ? (static_cast<uint32_t>(num) / count)
+                                  : (num / count);
+    rem = static_cast<int64_t>(num - mean * count);
+    return mean;
+  }
+};
+
 // stateful k adapter (reference rice.hpp:45-114 semantics)
 struct AdaptK {
   uint64_t prev_sum = 0;
   uint32_t widx = 0, midx = 0, filled = 0;
   uint64_t wsum = 0;
   int32_t large = 0, zero = 0;
+  MeanDiv meandiv;
   uint32_t recent[256];
   uint8_t lflags[96], zflags[96];
   AdaptK() {
@@ -168,7 +205,7 @@ inline uint32_t adapt_stateful(AdaptK& st, uint64_t sum, uint32_t count) {
   }
   st.recent[st.widx] = static_cast<uint32_t>(cur);
   st.wsum += cur;
-  const uint64_t mean = (sum + (count >> 1)) / count;
+  const uint64_t mean = st.meandiv.update(sum + (count >> 1), count);
   const uint32_t k = (mean <= 1) ? 0u : (bitwidth64(mean - 1) > 31u ? 31u : bitwidth64(mean - 1));
   const uint32_t qb = (k >= 31u) ? 0u : static_cast<uint32_t>(cur >> k);
   const uint8_t il = qb > 3u, iz = qb == 0u;
@@ -178,8 +215,11 @@ inline uint32_t adapt_stateful(AdaptK& st, uint64_t sum, uint32_t count) {
   st.zflags[st.midx] = iz;
   int32_t bias = 0;
   if (st.filled > 0 && mean > 0) {
+    const uint64_t lnum = st.wsum + (st.filled >> 1);
     const uint64_t lm = (st.filled == 256) ? ((st.wsum + 128) >> 8)
-                                           : ((st.wsum + (st.filled >> 1)) / st.filled);
+                        : (lnum <= 0xFFFFFFFFull)
+                            ? (static_cast<uint32_t>(lnum) / st.filled)
+                            : (lnum / st.filled);
     if (lm * 3 > mean * 4) bias = 1;
     else if (lm * 4 + 3 < mean * 3) bias = -1;
   }
@@ -196,12 +236,25 @@ inline uint32_t adapt_stateful(AdaptK& st, uint64_t sum, uint32_t count) {
   return static_cast<uint32_t>(bk);
 }
 
-inline uint32_t adapt_stateless(uint64_t sum, uint32_t count) {
-  if (count == 0) return 0;
-  const uint64_t mean = (sum + (count >> 1)) / count;
+inline uint32_t k_from_mean(uint64_t mean) {
   if (mean <= 1) return 0;
   const uint32_t bw = bitwidth64(mean - 1);
   return bw > 31u ? 31u : bw;
+}
+
+inline uint32_t adapt_stateless(uint64_t sum, uint32_t count) {
+  if (count == 0) return 0;
+  const uint64_t num = sum + (count >> 1);
+  const uint64_t mean = (num <= 0xFFFFFFFFull) ? (static_cast<uint32_t>(num) / count)
+                                               : (num / count);
+  return k_from_mean(mean);
+}
+
+// incremental stateless adapter: one MeanDiv per partition replaces the
+// per-sample division (identical results; adapt_stateless is the spec)
+inline uint32_t adapt_stateless_inc(MeanDiv& md, uint64_t sum, uint32_t count) {
+  if (count == 0) return 0;
+  return k_from_mean(md.update(sum + (count >> 1), count));
 }
 
 // ------------------------------------------------------- residual decode
@@ -214,10 +267,11 @@ bool decode_segment(Reader& r, uint32_t samples, uint32_t initial_k, uint32_t mo
   uint32_t k = initial_k;
   uint64_t sum = 0;
   uint32_t count = 0;
+  MeanDiv md;
   auto step = [&](uint32_t u) {
     sum += u;
     ++count;
-    k = stateless ? adapt_stateless(sum, count) : adapt_stateful(*st, sum, count);
+    k = stateless ? adapt_stateless_inc(md, sum, count) : adapt_stateful(*st, sum, count);
   };
 
   if (mode == 0) {  // adaptive rice
@@ -248,7 +302,7 @@ bool decode_segment(Reader& r, uint32_t samples, uint32_t initial_k, uint32_t mo
         idx += run;
         if (stateless) {
           count += run;
-          k = adapt_stateless(sum, count);
+          k = k_from_mean(md.resync(sum + (count >> 1), count));
         } else {
           for (uint32_t j = 0; j < run; ++j) {
             ++count;
@@ -709,11 +763,28 @@ struct BitSink {
   uint8_t* out;
   uint64_t cap;
   uint64_t nout = 0;
-  uint64_t acc = 0;
+  uint64_t acc = 0;  // up to 64 pending bits, MSB-first in the low nacc bits
   int nacc = 0;
   bool overflow = false;
 
+  // spill whole bytes; bulk big-endian 32-bit stores on the hot path
   inline void flush() {
+    while (nacc >= 32) {
+      nacc -= 32;
+      uint32_t w32 = static_cast<uint32_t>((acc >> nacc) & 0xFFFFFFFFu);
+      if (nout + 4 <= cap) {
+        w32 = __builtin_bswap32(w32);
+        std::memcpy(out + nout, &w32, 4);
+      } else {
+        for (int s = 24; s >= 0; s -= 8) {
+          if (nout + static_cast<uint64_t>((24 - s) / 8) < cap)
+            out[nout + (24 - s) / 8] = static_cast<uint8_t>((w32 >> s) & 0xFFu);
+          else
+            overflow = true;
+        }
+      }
+      nout += 4;
+    }
     while (nacc >= 8) {
       nacc -= 8;
       if (nout < cap) out[nout] = static_cast<uint8_t>((acc >> nacc) & 0xFFu);
@@ -722,11 +793,13 @@ struct BitSink {
     }
     acc &= (nacc == 0) ? 0 : ((1ULL << nacc) - 1);
   }
+  // deferred flush: accumulate until the u64 would overflow (~3x fewer
+  // flushes than flushing per call; bytes land in 32-bit stores)
   inline void bits(uint64_t v, int nb) {
     if (nb <= 0) return;
+    if (nacc + nb > 64) flush();  // leaves nacc < 8
     acc = (acc << nb) | (v & ((nb >= 64) ? ~0ULL : ((1ULL << nb) - 1)));
     nacc += nb;
-    flush();
   }
   inline void ones(uint64_t count) {
     while (count > 0) {
@@ -736,6 +809,7 @@ struct BitSink {
     }
   }
   inline void pad_to_byte() {
+    flush();
     if (nacc > 0) {
       if (nout < cap) out[nout] = static_cast<uint8_t>((acc << (8 - nacc)) & 0xFFu);
       else overflow = true;
@@ -757,6 +831,13 @@ inline void rice_emit(BitSink& w, uint32_t u, uint32_t k) {
   // asymmetry is the reference's own (encoder.cpp:68,80,132) and both
   // sides must be reproduced exactly for byte parity.
   const uint32_t q = (k >= 32u) ? 0u : (u >> k);
+  const uint32_t total = q + 1 + k;
+  if (total <= 57) {  // typical token: one fused bits() call
+    const uint64_t tok = (((1ULL << q) - 1) << (k + 1)) |
+                         (k ? (u & ((1u << k) - 1u)) : 0u);
+    w.bits(tok, static_cast<int>(total));
+    return;
+  }
   w.ones(q);
   w.bits(0, 1);
   if (k > 0) w.bits(u & ((1u << k) - 1u), static_cast<int>(k));
@@ -807,10 +888,11 @@ void emit_partition(BitSink& w, const int32_t* res, uint32_t len, uint32_t mode,
   uint64_t sum = 0;
   uint32_t count = 0;
   AdaptK st;
+  MeanDiv md;
   auto step = [&](uint32_t u) {
     sum += u;
     ++count;
-    k = stateless ? adapt_stateless(sum, count) : adapt_stateful(st, sum, count);
+    k = stateless ? adapt_stateless_inc(md, sum, count) : adapt_stateful(st, sum, count);
   };
   if (mode == 0) {
     for (uint32_t i = 0; i < len; ++i) {
@@ -828,7 +910,7 @@ void emit_partition(BitSink& w, const int32_t* res, uint32_t len, uint32_t mode,
         rice_emit(w, run - kZrMinRun, kZrLenK);
         if (stateless) {
           count += run;
-          k = adapt_stateless(sum, count);
+          k = k_from_mean(md.resync(sum + (count >> 1), count));
         } else {
           for (uint32_t j = 0; j < run; ++j) {
             ++count;
