@@ -34,7 +34,7 @@ import numpy as np
 
 from .format import constants as C
 from .ops import lpc
-from .ops.stereo import estimate_stereo_mode, ms_transform
+from .ops.stereo import estimate_stereo_mode
 from .utils import debug as _dbg
 
 N = C.MAX_BLOCK_SIZE
@@ -262,33 +262,30 @@ class _ChunkJob:
 
     # ------------------------------------------------------------ stage 3
     def finish(self):
-        from .encoder import replay_payloads
+        from .encoder import expand_plan
+        from .runtime.native import emit_blocks_planes_native
 
         pipe, K, kc = self.pipe, self.pipe.K, self.kc
         with _dbg.phase("meta_fetch"):
             metas = [np.asarray(f["meta"])[:nsub] for f, nsub in self.futs]
         meta = np.concatenate(metas) if len(metas) > 1 else metas[0]
 
-        # host PCM rows for the native replay (M/S derived only for the
-        # blocks that need it, one vectorized pass)
+        # lanes replay straight from the resident channel planes: the
+        # native emitter derives L/R/M/S rows in-cache (no host-side
+        # (lanes, N) PCM assembly pass)
         with _dbg.phase("emit_prep"):
-            lmat = pipe.lview[self.c0 : self.c0 + kc]
-            rmat = pipe.rview[self.c0 : self.c0 + kc] if pipe.rview is not None else None
-            ms_local = sorted({i for i, v, _ in self.recs if v == "ms"})
-            ms_map = {i: j for j, i in enumerate(ms_local)}
-            if ms_local:
-                mrows, srows = ms_transform(lmat[ms_local], rmat[ms_local])
-            pcm = np.empty((len(self.recs), N), np.int32)
-            for r, (i, variant, slot) in enumerate(self.recs):
-                if variant == "lr":
-                    pcm[r] = lmat[i] if (slot == 0 or rmat is None) else rmat[i]
-                else:
-                    pcm[r] = mrows[ms_map[i]] if slot == 0 else srows[ms_map[i]]
+            rows = np.asarray([self.c0 + i for i, _, _ in self.recs], np.int32)
+            variants = np.asarray([v == "ms" for _, v, _ in self.recs], np.uint8)
+            slots = np.asarray([s for _, _, s in self.recs], np.uint8)
+            starts = np.zeros(len(self.recs), np.uint32)
+            plan = expand_plan(meta, self.coeffs, self.used, self.mvo, N, pipe.partitioning)
         with _dbg.phase("native_emit"):
-            payloads = replay_payloads(
-                pcm, meta, self.coeffs, self.used, self.mvo, N,
-                pipe.partitioning, pipe.thread_count,
+            payloads = emit_blocks_planes_native(
+                pipe.lview, pipe.rview, rows, variants, slots, starts, N,
+                *plan, num_threads=pipe.thread_count,
             )
+            if payloads is None:
+                raise RuntimeError("native emitter unavailable")
 
         out_payloads = {}  # local block -> {variant: {slot: bytes}}
         for (i, variant, slot), pb in zip(self.recs, payloads):
@@ -301,7 +298,7 @@ class _ChunkJob:
                 if not self.un[i]:
                     flags[i] = 1 if self.cm[i] else 0
             if self.un.any():
-                self._finish_probes(flags, lmat, rmat)
+                self._finish_probes(flags)
         result = {}
         for i in range(kc):
             variant = None
@@ -318,8 +315,9 @@ class _ChunkJob:
             {self.c0 + i: u for i, u in uncertain.items()},
         )
 
-    def _finish_probes(self, flags, lmat, rmat):
-        from .encoder import replay_payloads
+    def _finish_probes(self, flags):
+        from .encoder import expand_plan
+        from .runtime.native import emit_blocks_planes_native
 
         pipe = self.pipe
         with _dbg.phase("meta_fetch"):
@@ -327,24 +325,29 @@ class _ChunkJob:
         meta = np.concatenate(metas) if len(metas) > 1 else metas[0]
 
         with _dbg.phase("emit_prep"):
+            rows, variants, slots, starts = [], [], [], []
             un_local = sorted({i for i, _ in self.probe_recs})
-            mprobe, sprobe = ms_transform(lmat[un_local], rmat[un_local])
-            un_map = {i: j for j, i in enumerate(un_local)}
-            pcm = np.empty((len(self.probe_recs), PROBE), np.int32)
-            r = 0
             for i in un_local:
-                j = un_map[i]
                 for variant in ("lr", "ms"):
-                    a, b = (lmat[i], rmat[i]) if variant == "lr" else (mprobe[j], sprobe[j])
-                    for ch in (a, b):
+                    for slot in (0, 1):
                         for pos in PROBE_POS:
-                            pcm[r] = ch[pos : pos + PROBE]
-                            r += 1
-        with _dbg.phase("native_emit"):
-            payloads = replay_payloads(
-                pcm, meta, self.probe_coeffs, self.probe_used, self.probe_mvo, PROBE,
-                pipe.partitioning, pipe.thread_count,
+                            rows.append(self.c0 + i)
+                            variants.append(variant == "ms")
+                            slots.append(slot)
+                            starts.append(pos)
+            plan = expand_plan(
+                meta, self.probe_coeffs, self.probe_used, self.probe_mvo, PROBE,
+                pipe.partitioning,
             )
+        with _dbg.phase("native_emit"):
+            payloads = emit_blocks_planes_native(
+                pipe.lview, pipe.rview,
+                np.asarray(rows, np.int32), np.asarray(variants, np.uint8),
+                np.asarray(slots, np.uint8), np.asarray(starts, np.uint32), PROBE,
+                *plan, num_threads=pipe.thread_count,
+            )
+            if payloads is None:
+                raise RuntimeError("native emitter unavailable")
         totals = {}
         for (i, variant), pb in zip(self.probe_recs, payloads):
             t = totals.setdefault(i, {"lr": 0, "ms": 0})

@@ -491,12 +491,11 @@ def lpc_candidates_from_lags(R, n):
     return coeffs, used, valid, max_valid_order
 
 
-def replay_payloads(pcm, meta, coeffs, used, mvo, n, partitioning_enabled, thread_count):
-    """Native plan replay: expand plan metadata to per-lane arrays and
-    emit the wire payloads in one C++ pass (lac_emit_blocks)."""
-    from .runtime.native import emit_blocks_native
-
-    B = pcm.shape[0]
+def expand_plan(meta, coeffs, used, mvo, n, partitioning_enabled):
+    """Expand compact plan metadata to the per-lane replay arrays:
+    (ptype u8, order u8, coeffs_lane (B,33) i16, best_p u8, modes (B,256)
+    u8, ks (B,256) u8)."""
+    B = meta.shape[0]
     sel = meta[:, 0].astype(np.int32)
     best_p = meta[:, 1].astype(np.int32)
     assert np.all(meta[:, 2] != 0), "in-range lanes only (ladder lanes replan on host)"
@@ -522,9 +521,19 @@ def replay_payloads(pcm, meta, coeffs, used, mvo, n, partitioning_enabled, threa
     order = np.where(lpc_mask, np.clip(used_sel, 1, mvo), order).astype(np.uint8)
     coeffs_lane = np.zeros((B, 33), np.int16)
     coeffs_lane[:, :13] = np.where(lpc_mask[:, None], coeffs[li, lanes, :], np.int16(0))
+    return ptype, order, coeffs_lane, best_p.astype(np.uint8), modes, ks
 
+
+def replay_payloads(pcm, meta, coeffs, used, mvo, n, partitioning_enabled, thread_count):
+    """Native plan replay: expand plan metadata to per-lane arrays and
+    emit the wire payloads in one C++ pass (lac_emit_blocks)."""
+    from .runtime.native import emit_blocks_native
+
+    ptype, order, coeffs_lane, best_p, modes, ks = expand_plan(
+        meta, coeffs, used, mvo, n, partitioning_enabled
+    )
     payloads = emit_blocks_native(
-        pcm, ptype, order, coeffs_lane, best_p.astype(np.uint8), modes, ks, thread_count
+        pcm, ptype, order, coeffs_lane, best_p, modes, ks, thread_count
     )
     if payloads is None:  # native vanished mid-flight: no replay data
         raise RuntimeError("native emitter unavailable")
@@ -598,11 +607,27 @@ class _GroupJob:
         if not self.is_jax:
             with _dbg.phase("plan_numpy"):
                 coeffs, used, lvalid, mvo = enc._lpc_analysis(self.pcm_np, n)
-                plan = plan_group(
-                    self.pcm_np, coeffs, lvalid, n, enc.zero_run_enabled, enc.partitioning_enabled,
-                    np, emit_fields=not self.replay,
-                )
-                self._result = (np.asarray(plan["ship"]), np.asarray(plan["meta"]), coeffs, used, lvalid, mvo)
+                meta = None
+                if self.replay:
+                    # native planner: same meta rows as plan_group, at
+                    # C++ scan speed and O(n) footprint (the numpy array
+                    # program's first-touch allocations cost ~1s/group)
+                    from .runtime.native import plan_blocks_native
+
+                    meta = plan_blocks_native(
+                        self.pcm_np, coeffs, lvalid,
+                        enc.zero_run_enabled, enc.partitioning_enabled,
+                        enc.thread_count,
+                    )
+                if meta is not None:
+                    ship = np.zeros((self.pcm_np.shape[0], 0), np.uint8)
+                else:
+                    plan = plan_group(
+                        self.pcm_np, coeffs, lvalid, n, enc.zero_run_enabled,
+                        enc.partitioning_enabled, np, emit_fields=not self.replay,
+                    )
+                    ship, meta = np.asarray(plan["ship"]), np.asarray(plan["meta"])
+                self._result = (ship, meta, coeffs, used, lvalid, mvo)
             return
         R = self.R_np if self.need_lpc else None
         with _dbg.phase("host_ld"):
@@ -1053,21 +1078,29 @@ class FrameEncoder:
                 lmat = left[: nfull * C.MAX_BLOCK_SIZE].reshape(nfull, C.MAX_BLOCK_SIZE)
                 rmat = right[: nfull * C.MAX_BLOCK_SIZE].reshape(nfull, C.MAX_BLOCK_SIZE)
 
-                def _decide(lo, hi):
-                    return estimate_stereo_mode(
-                        lmat[lo:hi], rmat[lo:hi], np.ones((hi - lo, C.MAX_BLOCK_SIZE), bool)
-                    )
+                from .runtime.native import stereo_estimate_native
 
-                chunk = 64
-                bounds = [(lo, min(lo + chunk, nfull)) for lo in range(0, nfull, chunk)]
-                if len(bounds) > 1:
-                    from concurrent.futures import ThreadPoolExecutor
-
-                    workers = self.thread_count or (_os.cpu_count() or 4)
-                    with ThreadPoolExecutor(max_workers=min(workers, len(bounds))) as ex:
-                        results = list(ex.map(lambda b: _decide(*b), bounds))
+                nat = stereo_estimate_native(lmat, rmat, self.thread_count)
+                if nat is not None:  # one native pass: ~100x the numpy path
+                    cm_all, un_all = nat
+                    results = [(cm_all, un_all)]
+                    bounds = [(0, nfull)]
                 else:
-                    results = [_decide(*b) for b in bounds]
+                    def _decide(lo, hi):
+                        return estimate_stereo_mode(
+                            lmat[lo:hi], rmat[lo:hi], np.ones((hi - lo, C.MAX_BLOCK_SIZE), bool)
+                        )
+
+                    chunk = 64
+                    bounds = [(lo, min(lo + chunk, nfull)) for lo in range(0, nfull, chunk)]
+                    if len(bounds) > 1:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        workers = self.thread_count or (_os.cpu_count() or 4)
+                        with ThreadPoolExecutor(max_workers=min(workers, len(bounds))) as ex:
+                            results = list(ex.map(lambda b: _decide(*b), bounds))
+                    else:
+                        results = [_decide(*b) for b in bounds]
                 for (lo, hi), (cm, un) in zip(bounds, results):
                     for j in range(lo, hi):
                         decisions[full[j]] = (bool(cm[j - lo]), bool(un[j - lo]))
@@ -1254,7 +1287,6 @@ class FrameEncoder:
                         )
 
         # ---------------- assembly
-        from .bitio import BitWriter
         from .format.header import FrameHeader
 
         hdr = FrameHeader(
@@ -1264,26 +1296,28 @@ class FrameEncoder:
             bit_depth=self.bit_depth,
             version=C.FORMAT_VERSION,
         )
-        block_bytes = []
-        for bi in range(nblocks):
-            parts = []
-            if per_block:
-                parts.append(bytes([block_flags[bi]]))
-            chans = block_channel_payloads[bi]
-            for slot in sorted(chans):
-                parts.append(chans[slot])
-            block_bytes.append(b"".join(parts))
-
         with _dbg.phase("assembly"):
-            w = BitWriter()
-            w.write_bytes(hdr.pack())
-            w.write_bits(nblocks, 32)
-            for sz, bb in zip(sizes, block_bytes):
-                if len(bb) == 0 or len(bb) > 0xFFFFFFFF:
-                    raise RuntimeError("encoded block size is outside format limits")
-                w.write_bits(sz, 32)
-                w.write_bits(len(bb), 32)
-            w.flush_to_byte()
-            out = w.getvalue() + b"".join(block_bytes)
+            # one flat parts list + vectorized big-endian table (the
+            # wire table is byte-aligned 32-bit fields, BitWriter-
+            # equivalent; the scalar writer is the readable spec)
+            parts = []
+            block_lens = np.empty(nblocks, np.int64)
+            for bi in range(nblocks):
+                blen = 0
+                if per_block:
+                    parts.append(bytes([block_flags[bi]]))
+                    blen += 1
+                chans = block_channel_payloads[bi]
+                for slot in sorted(chans):
+                    parts.append(chans[slot])
+                    blen += len(chans[slot])
+                block_lens[bi] = blen
+            if block_lens.min() == 0 or block_lens.max() > 0xFFFFFFFF:
+                raise RuntimeError("encoded block size is outside format limits")
+            table = np.empty((nblocks, 2), dtype=">u4")
+            table[:, 0] = np.asarray(sizes, np.int64)
+            table[:, 1] = block_lens
+            head = hdr.pack() + nblocks.to_bytes(4, "big") + table.tobytes()
+            out = head + b"".join(parts)
         _dbg.timing_report(f"encode {n} frames x{2 if is_stereo else 1}ch")
         return out

@@ -93,6 +93,15 @@ def get_native():
             u8p, u8p, i16p, u8p, u8p, u8p,
             u8p, ctypes.c_uint64, u64p, ctypes.c_int32,
         ]
+        vp = ctypes.c_void_p
+        lib.lac_emit_blocks_planes.restype = ctypes.c_int
+        lib.lac_emit_blocks_planes.argtypes = [
+            vp, vp, ctypes.c_uint32, ctypes.c_uint32,
+            i32p, u8p, u8p, u32p,
+            ctypes.c_uint32, ctypes.c_uint32,
+            u8p, u8p, i16p, u8p, u8p, u8p,
+            u8p, ctypes.c_uint64, u64p, ctypes.c_int32,
+        ]
         lib.lac_tokenize_v3_blocks.restype = ctypes.c_int
         lib.lac_tokenize_v3_blocks.argtypes = [
             u8p, u64p, u64p, u32p, u64p,
@@ -103,6 +112,17 @@ def get_native():
         lib.lac_pack_streams_sizes.argtypes = [u32p, u8p, u64p, ctypes.c_uint32, u64p]
         lib.lac_pack_streams.restype = None
         lib.lac_pack_streams.argtypes = [u32p, u32p, u8p, u64p, ctypes.c_uint32, u8p, u64p, ctypes.c_int32]
+        lib.lac_stereo_estimate.restype = None
+        lib.lac_stereo_estimate.argtypes = [
+            i32p, i32p, ctypes.c_uint32, ctypes.c_uint32, u8p, u8p, ctypes.c_int32,
+        ]
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.lac_plan_blocks.restype = ctypes.c_int
+        lib.lac_plan_blocks.argtypes = [
+            i32p, ctypes.c_uint32, ctypes.c_uint32,
+            i16p, u8p, ctypes.c_uint32, ctypes.c_uint32,
+            i8p, ctypes.c_int32,
+        ]
         lib.lac_thread_collector_reset.restype = None
         lib.lac_thread_collector_reset.argtypes = []
         lib.lac_thread_collector_count.restype = ctypes.c_uint64
@@ -224,6 +244,101 @@ def emit_blocks_native(pcm, ptype, order, coeffs, best_p, modes, ks, num_threads
         if status == 0:
             return [out[b, : int(sizes[b])].tobytes() for b in range(B)]
         lane_cap *= 4  # pathological unary runs: retry with more room
+        if lane_cap > (1 << 31):
+            return None
+
+
+def stereo_estimate_native(left, right, num_threads=0):
+    """Per-block stereo proxy decisions for full-valid (B, n) planes
+    (ops/stereo.estimate_stereo_mode semantics). Returns
+    (choose_ms, uncertain) bool arrays or None when unavailable."""
+    lib = get_native()
+    if lib is None:
+        return None
+    left = np.ascontiguousarray(left, dtype=np.int32)
+    right = np.ascontiguousarray(right, dtype=np.int32)
+    B, n = left.shape
+    cm = np.zeros(B, np.uint8)
+    un = np.zeros(B, np.uint8)
+    lib.lac_stereo_estimate(
+        _ptr(left, ctypes.c_int32), _ptr(right, ctypes.c_int32), B, n,
+        _ptr(cm, ctypes.c_uint8), _ptr(un, ctypes.c_uint8), num_threads,
+    )
+    return cm.astype(bool), un.astype(bool)
+
+
+def plan_blocks_native(pcm, lpc_coeffs, lpc_valid, zero_run_enabled,
+                       partitioning_enabled, num_threads=0):
+    """Native block planner: (B, n) pcm + LPC candidates -> compact meta
+    rows identical to ``encoder.plan_group(emit_fields=False)["meta"]``
+    ((B, 3 + 2*max_parts) int8). Returns None when unavailable."""
+    from ..format.partitions import max_partition_order_for_block
+    from ..format import constants as C
+
+    lib = get_native()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(pcm, dtype=np.int32)
+    B, n = pcm.shape
+    lpc_coeffs = np.ascontiguousarray(lpc_coeffs, dtype=np.int16)
+    lpc_valid = np.ascontiguousarray(lpc_valid, dtype=np.uint8)
+    max_p = (
+        max_partition_order_for_block(n)
+        if (partitioning_enabled and n >= C.MIN_PARTITION_SIZE)
+        else 0
+    )
+    meta = np.zeros((B, 3 + 2 * (1 << max_p)), dtype=np.int8)
+    status = lib.lac_plan_blocks(
+        _ptr(pcm, ctypes.c_int32), B, n,
+        _ptr(lpc_coeffs, ctypes.c_int16), _ptr(lpc_valid, ctypes.c_uint8),
+        1 if zero_run_enabled else 0, 1 if partitioning_enabled else 0,
+        _ptr(meta, ctypes.c_int8), num_threads,
+    )
+    if status != 0:
+        return None
+    return meta
+
+
+def emit_blocks_planes_native(lview, rview, rows, variants, slots, starts, n,
+                              ptype, order, coeffs, best_p, modes, ks, num_threads=0):
+    """Plane-derived plan replay: lanes are (row, variant, slot, start)
+    views into the resident channel planes; M/S derivation happens
+    in-cache in C++. Returns list of payload bytes or None."""
+    lib = get_native()
+    if lib is None:
+        return None
+    lview = np.ascontiguousarray(lview)
+    assert lview.dtype in (np.int16, np.int32)
+    rview = np.ascontiguousarray(rview) if rview is not None else lview
+    B = len(rows)
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    variants = np.ascontiguousarray(variants, dtype=np.uint8)
+    slots = np.ascontiguousarray(slots, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.uint32)
+    ptype = np.ascontiguousarray(ptype, dtype=np.uint8)
+    order = np.ascontiguousarray(order, dtype=np.uint8)
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int16)
+    best_p = np.ascontiguousarray(best_p, dtype=np.uint8)
+    modes = np.ascontiguousarray(modes, dtype=np.uint8)
+    ks = np.ascontiguousarray(ks, dtype=np.uint8)
+    lane_cap = n * 6 + 4096
+    while True:
+        out = np.zeros((B, lane_cap), dtype=np.uint8)
+        sizes = np.zeros(B, dtype=np.uint64)
+        status = lib.lac_emit_blocks_planes(
+            lview.ctypes.data_as(ctypes.c_void_p),
+            rview.ctypes.data_as(ctypes.c_void_p),
+            lview.dtype.itemsize, lview.shape[-1],
+            _ptr(rows, ctypes.c_int32), _ptr(variants, ctypes.c_uint8),
+            _ptr(slots, ctypes.c_uint8), _ptr(starts, ctypes.c_uint32),
+            B, n,
+            _ptr(ptype, ctypes.c_uint8), _ptr(order, ctypes.c_uint8), _ptr(coeffs, ctypes.c_int16),
+            _ptr(best_p, ctypes.c_uint8), _ptr(modes, ctypes.c_uint8), _ptr(ks, ctypes.c_uint8),
+            _ptr(out, ctypes.c_uint8), lane_cap, _ptr(sizes, ctypes.c_uint64), num_threads,
+        )
+        if status == 0:
+            return [out[b, : int(sizes[b])].tobytes() for b in range(B)]
+        lane_cap *= 4
         if lane_cap > (1 << 31):
             return None
 

@@ -12,6 +12,7 @@
 // Wire behaviour matches reference src/codec/block/decoder.cpp and
 // src/codec/rice/rice.hpp (canonical validation rules cited inline).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -957,6 +958,47 @@ void emit_partition(BitSink& w, const int32_t* res, uint32_t len, uint32_t mode,
 
 }  // namespace
 
+namespace {
+
+// emit one lane's full wire payload from its residual plan; returns
+// false on output overflow.
+inline bool emit_one_lane(const int32_t* pcm_lane, uint32_t n, uint8_t ptype_b,
+                          uint8_t order_b, const int16_t* coeffs_b, uint8_t best_p_b,
+                          const uint8_t* modes_b, const uint8_t* ks_b, uint8_t* out_b,
+                          uint64_t lane_cap, uint64_t* size_b, int32_t* res) {
+  compute_residual(pcm_lane, n, ptype_b, order_b, coeffs_b, res);
+  BitSink w{out_b, lane_cap};
+  w.bits(ptype_b, 8);
+  w.bits(order_b, 8);
+  if (ptype_b == 2) {
+    for (uint32_t j = 1; j <= order_b; ++j) {
+      w.bits(static_cast<uint16_t>(coeffs_b[j]), 16);
+    }
+  }
+  const uint32_t p = best_p_b;
+  const uint32_t nparts = p == 0 ? 1u : (1u << p);
+  uint32_t control = (modes_b[0] & 3u) << 5;
+  if (p > 0) control |= 0x80u | p;
+  w.bits(control, 8);
+  for (uint32_t i = 0; i < nparts; ++i) {
+    w.bits(modes_b[i] & 3u, 2);
+    w.bits(ks_b[i] & 31u, 5);
+  }
+  const uint32_t base = p == 0 ? n : (n >> p);
+  uint32_t off = 0;
+  for (uint32_t i = 0; i < nparts; ++i) {
+    const uint32_t len = (i + 1 == nparts) ? n - off : base;
+    emit_partition(w, res + off, len, modes_b[i] & 3u, ks_b[i] & 31u, p > 0);
+    off += len;
+  }
+  w.pad_to_byte();
+  if (w.overflow) return false;
+  *size_b = w.nout;
+  return true;
+}
+
+}  // namespace
+
 // replay a chosen encode plan: per lane, compute the winning predictor's
 // residual and serially emit the exact wire payload. The device performs
 // the candidate/mode/partition *search*; this performs the inherently
@@ -983,41 +1025,16 @@ int lac_emit_blocks(const int32_t* pcm,  // (B, n) row-major
     while (status.load(std::memory_order_relaxed) == 0) {
       const uint32_t b = next.fetch_add(1, std::memory_order_relaxed);
       if (b >= B) return;
-      compute_residual(pcm + static_cast<uint64_t>(b) * n, n, ptype[b], order[b],
-                       coeffs + static_cast<uint64_t>(b) * 33, res.data());
-      BitSink w{out + static_cast<uint64_t>(b) * lane_cap, lane_cap};
-      w.bits(ptype[b], 8);
-      w.bits(order[b], 8);
-      if (ptype[b] == 2) {
-        for (uint32_t j = 1; j <= order[b]; ++j) {
-          w.bits(static_cast<uint16_t>(coeffs[static_cast<uint64_t>(b) * 33 + j]), 16);
-        }
-      }
-      const uint32_t p = best_p[b];
-      const uint32_t nparts = p == 0 ? 1u : (1u << p);
-      uint32_t control = (modes[static_cast<uint64_t>(b) * 256] & 3u) << 5;
-      if (p > 0) control |= 0x80u | p;
-      w.bits(control, 8);
-      for (uint32_t i = 0; i < nparts; ++i) {
-        w.bits(modes[static_cast<uint64_t>(b) * 256 + i] & 3u, 2);
-        w.bits(ks[static_cast<uint64_t>(b) * 256 + i] & 31u, 5);
-      }
-      const uint32_t base = p == 0 ? n : (n >> p);
-      uint32_t off = 0;
-      for (uint32_t i = 0; i < nparts; ++i) {
-        const uint32_t len = (i + 1 == nparts) ? n - off : base;
-        emit_partition(w, res.data() + off, len,
-                       modes[static_cast<uint64_t>(b) * 256 + i] & 3u,
-                       ks[static_cast<uint64_t>(b) * 256 + i] & 31u, p > 0);
-        off += len;
-      }
-      w.pad_to_byte();
-      if (w.overflow) {
+      if (!emit_one_lane(pcm + static_cast<uint64_t>(b) * n, n, ptype[b], order[b],
+                         coeffs + static_cast<uint64_t>(b) * 33, best_p[b],
+                         modes + static_cast<uint64_t>(b) * 256,
+                         ks + static_cast<uint64_t>(b) * 256,
+                         out + static_cast<uint64_t>(b) * lane_cap, lane_cap,
+                         out_sizes + b, res.data())) {
         int expect = 0;
         status.compare_exchange_strong(expect, -static_cast<int>(b) - 1);
         return;
       }
-      out_sizes[b] = w.nout;
     }
   };
   unsigned hw = std::thread::hardware_concurrency();
@@ -1033,6 +1050,535 @@ int lac_emit_blocks(const int32_t* pcm,  // (B, n) row-major
     for (auto& t : pool) t.join();
   }
   return status.load();
+}
+
+// plane-derived replay: lanes are described as (row, variant, slot,
+// start) views into the resident L/R channel planes ((nb, plane_n)
+// int16 or int32); the worker materializes each lane's PCM (L, R,
+// mid=(l+r)>>1, or side=l-r — neon.cpp:14-30 scalar semantics) in-cache
+// and emits as lac_emit_blocks does. Removes the host-side (lanes, n)
+// PCM assembly pass entirely.
+int lac_emit_blocks_planes(const void* lplane,
+                           const void* rplane,      // may equal lplane for mono
+                           uint32_t elem_size,      // 2 or 4
+                           uint32_t plane_n,        // samples per plane row
+                           const int32_t* rows,     // (B) plane row per lane
+                           const uint8_t* variants, // (B) 0 = L/R, 1 = M/S
+                           const uint8_t* slots,    // (B) 0 primary / 1 secondary
+                           const uint32_t* starts,  // (B) sample offset in row
+                           uint32_t B,
+                           uint32_t n,              // lane length
+                           const uint8_t* ptype,
+                           const uint8_t* order,
+                           const int16_t* coeffs,   // (B, 33)
+                           const uint8_t* best_p,
+                           const uint8_t* modes,    // (B, 256)
+                           const uint8_t* ks,       // (B, 256)
+                           uint8_t* out,
+                           uint64_t lane_cap,
+                           uint64_t* out_sizes,
+                           int32_t num_threads) {
+  std::atomic<uint32_t> next{0};
+  std::atomic<int> status{0};
+  auto worker = [&]() {
+    tc_note();
+    std::vector<int32_t> res(n), lane(n);
+    while (status.load(std::memory_order_relaxed) == 0) {
+      const uint32_t b = next.fetch_add(1, std::memory_order_relaxed);
+      if (b >= B) return;
+      const uint64_t off = static_cast<uint64_t>(rows[b]) * plane_n + starts[b];
+      const bool ms = variants[b] != 0;
+      const bool secondary = slots[b] != 0;
+      int32_t* dst = lane.data();
+      if (elem_size == 2) {
+        const int16_t* lp = static_cast<const int16_t*>(lplane) + off;
+        const int16_t* rp = static_cast<const int16_t*>(rplane) + off;
+        if (!ms) {
+          const int16_t* src = secondary ? rp : lp;
+          for (uint32_t i = 0; i < n; ++i) dst[i] = src[i];
+        } else if (!secondary) {
+          for (uint32_t i = 0; i < n; ++i)
+            dst[i] = (static_cast<int32_t>(lp[i]) + rp[i]) >> 1;
+        } else {
+          for (uint32_t i = 0; i < n; ++i)
+            dst[i] = static_cast<int32_t>(lp[i]) - rp[i];
+        }
+      } else {
+        const int32_t* lp = static_cast<const int32_t*>(lplane) + off;
+        const int32_t* rp = static_cast<const int32_t*>(rplane) + off;
+        if (!ms) {
+          std::memcpy(dst, secondary ? rp : lp, sizeof(int32_t) * n);
+        } else if (!secondary) {
+          for (uint32_t i = 0; i < n; ++i)
+            dst[i] = static_cast<int32_t>(
+                (static_cast<int64_t>(lp[i]) + rp[i]) >> 1);
+        } else {
+          for (uint32_t i = 0; i < n; ++i)
+            dst[i] = static_cast<int32_t>(static_cast<int64_t>(lp[i]) - rp[i]);
+        }
+      }
+      if (!emit_one_lane(dst, n, ptype[b], order[b],
+                         coeffs + static_cast<uint64_t>(b) * 33, best_p[b],
+                         modes + static_cast<uint64_t>(b) * 256,
+                         ks + static_cast<uint64_t>(b) * 256,
+                         out + static_cast<uint64_t>(b) * lane_cap, lane_cap,
+                         out_sizes + b, res.data())) {
+        int expect = 0;
+        status.compare_exchange_strong(expect, -static_cast<int>(b) - 1);
+        return;
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (num_threads > 0 && static_cast<unsigned>(num_threads) < hw) hw = static_cast<unsigned>(num_threads);
+  if (hw > B) hw = B;
+  if (hw <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(hw);
+    for (unsigned i = 0; i < hw; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return status.load();
+}
+
+// --------------------------------------------------------- block planner
+
+namespace {
+
+// Native single-pass twin of the batched device planner
+// (encoder.plan_group, reference block/encoder.cpp:313-552): candidate
+// scoring with the exact cost model, lexicographic selection, and the
+// partition sweep with the 5% decode-speed margins. Used for odd-length
+// tail blocks and the no-JAX host path, where the numpy array program's
+// allocation footprint dominates. Produces the same compact `meta` rows
+// the device planner ships (sel, best_p, in_range, modes, ks).
+
+constexpr uint32_t kNumFixed = 5;
+constexpr uint32_t kLpcBase = 6;  // 5 fixed + FIR
+constexpr uint32_t kLpcCands = 5;
+constexpr uint32_t kNumCand = kLpcBase + kLpcCands;  // 11
+constexpr uint32_t kInitialScan = 256, kInitialMaxK = 12, kMaxStaticK = 15;
+constexpr uint32_t kMinPartition = 32;  // kMaxPartOrder shared (decl above)
+constexpr uint32_t kMarginDiv = 20;
+constexpr uint8_t kCandPtype[kNumCand] = {0, 0, 0, 0, 0, 1, 2, 2, 2, 2, 2};
+
+inline uint32_t max_part_order(uint32_t n) {
+  uint32_t max_p = 0;
+  for (uint32_t p = 1; p <= kMaxPartOrder; ++p) {
+    if ((n >> p) < kMinPartition) break;
+    max_p = p;
+  }
+  return max_p;
+}
+
+inline uint64_t pad8(uint64_t bits) { return bits + ((8 - (bits & 7)) & 7); }
+
+// open-loop LPC residual with int32-range check (lpc.cpp:38-61); taps
+// limited by index so zero-padded coefficient sets reproduce lower
+// orders exactly. Returns false when any difference leaves int32.
+inline bool lpc_residual_checked(const int32_t* x, uint32_t n, const int16_t* coeffs,
+                                 uint32_t order, int32_t* res) {
+  bool ok = true;
+  for (uint32_t i = 0; i < n; ++i) {
+    const uint32_t taps = i < order ? i : order;
+    int64_t acc = 0;
+    for (uint32_t j = 1; j <= taps; ++j) acc += static_cast<int64_t>(coeffs[j]) * x[i - j];
+    const int64_t diff = x[i] - (acc >> 15);
+    ok &= diff >= kI32Min && diff <= kI32Max;
+    res[i] = static_cast<int32_t>(diff);
+  }
+  return ok;
+}
+
+struct CandScore {
+  uint64_t rice_bits = 0, bin_bits = 0, zr_bits = 0, static_bits = 0;
+  uint32_t initial_k = 0, static_k = 0;
+  bool has_run = false;
+};
+
+// one full-block scoring pass: initial/static k sweeps + the stateful
+// adaptive-k cost simulation for rice/bin/zero-run in one scan.
+// `runlen`: scratch (n) — maximal zero-run length at each zero sample.
+void score_candidate(const int32_t* res, uint32_t n, CandScore& s, uint32_t* runlen) {
+  const uint32_t scan = n < kInitialScan ? n : kInitialScan;
+  uint64_t head[kInitialMaxK + 1] = {0};
+  uint64_t stat[kMaxStaticK + 1] = {0};
+  for (uint32_t i = 0; i < n; ++i) {
+    const uint32_t u = zigzag_u(res[i]);
+    for (uint32_t k = 0; k <= kMaxStaticK; ++k) stat[k] += u >> k;
+    if (i < scan)
+      for (uint32_t k = 0; k <= kInitialMaxK; ++k) head[k] += u >> k;
+  }
+  uint64_t best = ~0ULL;
+  for (uint32_t k = 0; k <= kInitialMaxK; ++k) {
+    const uint64_t c = head[k] + static_cast<uint64_t>(1 + k) * scan;
+    if (c < best) { best = c; s.initial_k = k; }
+  }
+  best = ~0ULL;
+  for (uint32_t k = 0; k <= kMaxStaticK; ++k) {
+    const uint64_t c = stat[k] + static_cast<uint64_t>(1 + k) * n;
+    if (c < best) { best = c; s.static_k = k; }
+  }
+  s.static_bits = best;
+
+  // backward pass: maximal-run length at each zero sample
+  uint32_t run = 0;
+  for (uint32_t i = n; i-- > 0;) {
+    run = res[i] == 0 ? run + 1 : 0;
+    runlen[i] = run;
+  }
+
+  AdaptK st;
+  uint64_t sum = 0;
+  uint32_t k = s.initial_k;
+  bool in_long_run = false;  // current sample covered by a run token
+  for (uint32_t i = 0; i < n; ++i) {
+    const uint32_t u = zigzag_u(res[i]);
+    const uint32_t q = (k >= 31u) ? 0u : (u >> k);
+    const uint64_t rice_per = static_cast<uint64_t>(q) + 1 + k;
+    s.rice_bits += rice_per;
+    const int32_t v = res[i];
+    s.bin_bits += (v == 0) ? 2 : ((v >= -2 && v <= 2) ? 3 : 2 + rice_per);
+    if (v == 0) {
+      if (i == 0 || res[i - 1] != 0) {  // run start: runlen[i] is the full length
+        in_long_run = runlen[i] >= kZrMinRun;
+        if (in_long_run) {
+          s.zr_bits += 2 + ((runlen[i] - kZrMinRun) >> kZrLenK) + 1 + kZrLenK;
+          s.has_run = true;
+        }
+      }
+      if (!in_long_run) {
+        const uint32_t esc_shift = (k + 3u > 24u) ? 24u : k + 3u;
+        s.zr_bits += 2 + ((u > (1u << esc_shift)) ? 32 : rice_per);
+      }
+    } else {
+      in_long_run = false;
+      const uint32_t esc_shift = (k + 3u > 24u) ? 24u : k + 3u;
+      s.zr_bits += 2 + ((u > (1u << esc_shift)) ? 32 : rice_per);
+    }
+    sum += u;
+    k = adapt_stateful(st, sum, i + 1);
+  }
+}
+
+}  // namespace
+
+// plan a batch of equal-length channel blocks -> compact meta rows
+// (sel_idx, best_p, in_range, modes[max_parts], ks[max_parts]) matching
+// encoder.plan_group(emit_fields=False). Returns 0.
+int lac_plan_blocks(const int32_t* pcm,      // (B, n)
+                    uint32_t B,
+                    uint32_t n,
+                    const int16_t* lpc_coeffs,  // (5, B, 13) Q15, index 0 unused
+                    const uint8_t* lpc_valid,   // (5, B)
+                    uint32_t zero_run_enabled,
+                    uint32_t partitioning_enabled,
+                    int8_t* out_meta,        // (B, 3 + 2*max_parts)
+                    int32_t num_threads) {
+  const uint32_t max_p =
+      (partitioning_enabled && n >= kMinPartition) ? max_part_order(n) : 0;
+  const uint32_t max_parts = 1u << max_p;
+  const uint64_t meta_stride = 3 + 2 * static_cast<uint64_t>(max_parts);
+  std::atomic<uint32_t> next{0};
+
+  auto worker = [&]() {
+    tc_note();
+    std::vector<int32_t> res(n), win(n);
+    std::vector<uint32_t> runlen(n);
+    std::vector<int32_t> last_nz(n), next_nz(n);
+    std::vector<uint64_t> psum((kMaxStaticK + 1) * (static_cast<uint64_t>(n) + 1));
+    std::vector<uint32_t> uwin(n);
+    while (true) {
+      const uint32_t b = next.fetch_add(1, std::memory_order_relaxed);
+      if (b >= B) return;
+      const int32_t* x = pcm + static_cast<uint64_t>(b) * n;
+
+      CandScore sc[kNumCand];
+      bool valid[kNumCand];
+      bool in_range = true;
+      uint64_t best_key = ~0ULL;
+      uint32_t sel = 0;
+      for (uint32_t c = 0; c < kNumCand; ++c) {
+        valid[c] = true;
+        if (c < kLpcBase) {
+          compute_residual(x, n, kCandPtype[c], c < kNumFixed ? c : 2,
+                           nullptr, res.data());
+        } else {
+          const uint32_t li = c - kLpcBase;
+          if (!lpc_valid[li * B + b]) { valid[c] = false; continue; }
+          const int16_t* co = lpc_coeffs + (static_cast<uint64_t>(li) * B + b) * 13;
+          const bool ok = lpc_residual_checked(x, n, co, 12, res.data());
+          if (!ok) { valid[c] = false; in_range = false; continue; }
+        }
+        score_candidate(res.data(), n, sc[c], runlen.data());
+        const uint64_t zr_eff =
+            (zero_run_enabled && sc[c].has_run) ? sc[c].zr_bits : sc[c].rice_bits;
+        uint64_t bits = sc[c].rice_bits;
+        if (sc[c].static_bits < bits) bits = sc[c].static_bits;
+        if (zr_eff < bits) bits = zr_eff;
+        if (sc[c].bin_bits < bits) bits = sc[c].bin_bits;
+        const uint64_t key = bits * 4 + kCandPtype[c];
+        if (key < best_key) { best_key = key; sel = c; }
+      }
+
+      int8_t* meta = out_meta + b * meta_stride;
+      std::memset(meta, 0, meta_stride);
+      // !in_range lanes still get a full plan (the host ladder replans
+      // them; plan_group fills their meta the same way)
+      meta[2] = in_range ? 1 : 0;
+      meta[0] = static_cast<int8_t>(sel);
+
+      // winner residual + whole-block (p = 0) mode choice
+      if (sel < kLpcBase) {
+        compute_residual(x, n, kCandPtype[sel], sel < kNumFixed ? sel : 2,
+                         nullptr, win.data());
+      } else {
+        const uint32_t li = sel - kLpcBase;
+        lpc_residual_checked(x, n, lpc_coeffs + (static_cast<uint64_t>(li) * B + b) * 13,
+                             12, win.data());
+      }
+      const CandScore& ws = sc[sel];
+      const bool allow_zr = zero_run_enabled && ws.has_run;
+      uint64_t best = ws.rice_bits;
+      uint32_t base_mode = 0;
+      if (allow_zr && ws.zr_bits <= best) { best = ws.zr_bits; base_mode = 1; }
+      if (ws.bin_bits < best) { best = ws.bin_bits; base_mode = 2; }
+      uint32_t base_k = ws.initial_k;
+      if (ws.static_bits < best) { best = ws.static_bits; base_mode = 3; base_k = ws.static_k; }
+      meta[3] = static_cast<int8_t>(base_mode);
+      meta[3 + max_parts] = static_cast<int8_t>(base_k);
+      uint64_t best_total = pad8(best + 8 + 7);
+      uint32_t best_p = 0;
+      if (max_p == 0) continue;
+
+      // winner precomputations shared by every sweep stage
+      for (uint32_t i = 0; i < n; ++i) uwin[i] = zigzag_u(win[i]);
+      for (uint32_t k = 0; k <= kMaxStaticK; ++k) {
+        uint64_t* ps = psum.data() + static_cast<uint64_t>(k) * (n + 1);
+        ps[0] = 0;
+        for (uint32_t i = 0; i < n; ++i) ps[i + 1] = ps[i] + (uwin[i] >> k);
+      }
+      {
+        int32_t last = -static_cast<int32_t>(n) - 2;
+        for (uint32_t i = 0; i < n; ++i) {
+          if (win[i] != 0) last = static_cast<int32_t>(i);
+          last_nz[i] = last;
+        }
+        int32_t nxt = static_cast<int32_t>(n) + 2;
+        for (uint32_t i = n; i-- > 0;) {
+          if (win[i] != 0) nxt = static_cast<int32_t>(i);
+          next_nz[i] = nxt;
+        }
+      }
+
+      uint8_t modes_s[1u << kMaxPartOrder], ks_s[1u << kMaxPartOrder];
+      for (uint32_t p = 1; p <= max_p; ++p) {
+        const uint32_t base_sz = n >> p;
+        const uint32_t nparts = 1u << p;
+        uint64_t total_bits = 0;
+        for (uint32_t pi = 0; pi < nparts; ++pi) {
+          const uint32_t s0 = pi * base_sz;
+          const uint32_t e0 = (pi + 1 == nparts) ? n : s0 + base_sz;
+          const uint32_t len = e0 - s0;
+          // head/static k from the prefix sums
+          const uint32_t hs = len < kInitialScan ? len : kInitialScan;
+          uint64_t bestc = ~0ULL;
+          uint32_t init_k = 0;
+          for (uint32_t k = 0; k <= kInitialMaxK; ++k) {
+            const uint64_t* ps = psum.data() + static_cast<uint64_t>(k) * (n + 1);
+            const uint64_t c = ps[s0 + hs] - ps[s0] + static_cast<uint64_t>(1 + k) * hs;
+            if (c < bestc) { bestc = c; init_k = k; }
+          }
+          bestc = ~0ULL;
+          uint32_t static_k = 0;
+          for (uint32_t k = 0; k <= kMaxStaticK; ++k) {
+            const uint64_t* ps = psum.data() + static_cast<uint64_t>(k) * (n + 1);
+            const uint64_t c = ps[e0] - ps[s0] + static_cast<uint64_t>(1 + k) * len;
+            if (c < bestc) { bestc = c; static_k = k; }
+          }
+          const uint64_t static_bits = bestc;
+
+          // stateless adaptive scan with partition-clamped run geometry
+          MeanDiv md;
+          uint64_t sum = 0;
+          uint32_t k = init_k;
+          uint64_t rice_b = 0, bin_b = 0, zr_b = 0;
+          bool has_run = false;
+          for (uint32_t i = s0; i < e0; ++i) {
+            const uint32_t u = uwin[i];
+            const uint32_t q = (k >= 31u) ? 0u : (u >> k);
+            const uint64_t rice_per = static_cast<uint64_t>(q) + 1 + k;
+            rice_b += rice_per;
+            const int32_t v = win[i];
+            bin_b += (v == 0) ? 2 : ((v >= -2 && v <= 2) ? 3 : 2 + rice_per);
+            if (v == 0) {
+              const uint32_t run_first =
+                  static_cast<uint32_t>(std::max(last_nz[i] + 1, static_cast<int32_t>(s0)));
+              const uint32_t next_break = static_cast<uint32_t>(
+                  std::min(next_nz[i], static_cast<int32_t>(e0)));
+              const uint32_t rl = next_break - run_first;
+              if (rl >= kZrMinRun) {
+                if (i == run_first) {
+                  zr_b += 2 + ((rl - kZrMinRun) >> kZrLenK) + 1 + kZrLenK;
+                  has_run = true;
+                }
+              } else {
+                const uint32_t esc_shift = (k + 3u > 24u) ? 24u : k + 3u;
+                zr_b += 2 + ((u > (1u << esc_shift)) ? 32 : rice_per);
+              }
+            } else {
+              const uint32_t esc_shift = (k + 3u > 24u) ? 24u : k + 3u;
+              zr_b += 2 + ((u > (1u << esc_shift)) ? 32 : rice_per);
+            }
+            sum += u;
+            k = adapt_stateless_inc(md, sum, i - s0 + 1);
+          }
+
+          uint64_t bits = rice_b;
+          uint32_t mode = 0, ksel = init_k;
+          if (zero_run_enabled && has_run && zr_b < bits) { bits = zr_b; mode = 1; }
+          if (bin_b < bits) { bits = bin_b; mode = 2; }
+          if (static_bits < bits || static_bits <= bits + bits / kMarginDiv) {
+            bits = static_bits; mode = 3; ksel = static_k;
+          }
+          modes_s[pi] = static_cast<uint8_t>(mode);
+          ks_s[pi] = static_cast<uint8_t>(ksel);
+          total_bits += bits;
+        }
+        const uint64_t total = pad8(total_bits + 8 + 7ull * nparts);
+        const uint64_t margin = best_total / kMarginDiv;
+        const bool accept = (total < best_total) ||
+                            (total <= best_total + margin && best_p == 0) ||
+                            (total == best_total && p < best_p);
+        if (accept) {
+          best_total = total;
+          best_p = p;
+          std::memset(meta + 3, 0, 2 * max_parts);
+          for (uint32_t pi = 0; pi < nparts; ++pi) {
+            meta[3 + pi] = static_cast<int8_t>(modes_s[pi]);
+            meta[3 + max_parts + pi] = static_cast<int8_t>(ks_s[pi]);
+          }
+        }
+      }
+      meta[1] = static_cast<int8_t>(best_p);
+    }
+  };
+
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (num_threads > 0 && static_cast<unsigned>(num_threads) < hw) hw = static_cast<unsigned>(num_threads);
+  if (hw > B) hw = B;
+  if (hw <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(hw);
+    for (unsigned i = 0; i < hw; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return 0;
+}
+
+// ------------------------------------------------------- stereo estimate
+
+namespace {
+
+// zigzag magnitude of a difference (lac/encoder.cpp:38-41): 2|v|-(v<0)
+inline uint64_t zz_mag(int64_t v) {
+  return v >= 0 ? static_cast<uint64_t>(2 * v) : static_cast<uint64_t>(-2 * v - 1);
+}
+
+// approximate_rice_bits (lac/encoder.cpp:53-57)
+inline int64_t approx_rice_bits(int64_t total, int64_t count) {
+  if (count <= 0) return 0;
+  const int64_t mean = (total + (count >> 1)) / count;
+  uint32_t k = 0;
+  if (mean > 1) {
+    k = bitwidth64(static_cast<uint64_t>(mean - 1));
+    if (k > 31u) k = 31u;
+  }
+  return (total >> k) + count * (k + 1);
+}
+
+}  // namespace
+
+// per-block stereo proxy decision for full-valid lanes
+// (ops/stereo.estimate_stereo_mode, lac/encoder.cpp:126-197): one
+// cache-friendly pass accumulates all 12 channel sums per block.
+void lac_stereo_estimate(const int32_t* left,   // (B, n)
+                         const int32_t* right,  // (B, n)
+                         uint32_t B,
+                         uint32_t n,
+                         uint8_t* out_choose_ms,
+                         uint8_t* out_uncertain,
+                         int32_t num_threads) {
+  std::atomic<uint32_t> next{0};
+  auto worker = [&]() {
+    tc_note();
+    while (true) {
+      const uint32_t b = next.fetch_add(1, std::memory_order_relaxed);
+      if (b >= B) return;
+      const int32_t* l = left + static_cast<uint64_t>(b) * n;
+      const int32_t* r = right + static_cast<uint64_t>(b) * n;
+      // sums[ch][0..2] = raw / first-difference / first-anti-difference
+      int64_t sums[4][3] = {};
+      int32_t prev[4] = {0, 0, 0, 0};
+      for (uint32_t i = 0; i < n; ++i) {
+        const int32_t ch[4] = {
+            l[i], r[i],
+            static_cast<int32_t>((l[i] + r[i]) >> 1),
+            static_cast<int32_t>(l[i] - r[i]),
+        };
+        for (int c = 0; c < 4; ++c) {
+          const int64_t v = ch[c];
+          const uint64_t raw = zz_mag(v);
+          sums[c][0] += raw;
+          if (i == 0) {
+            sums[c][1] += raw;
+            sums[c][2] += raw;
+          } else {
+            sums[c][1] += zz_mag(v - prev[c]);
+            sums[c][2] += zz_mag(v + prev[c]);
+          }
+          prev[c] = ch[c];
+        }
+      }
+      int64_t bits[4];
+      bool non_diff_any = false;
+      for (int c = 0; c < 4; ++c) {
+        const int64_t rb = approx_rice_bits(sums[c][0], n);
+        const int64_t db = approx_rice_bits(sums[c][1], n);
+        const int64_t ab = approx_rice_bits(sums[c][2], n);
+        bits[c] = std::min(std::min(rb, db), ab);
+        non_diff_any |= (rb < db) || (ab < db);
+      }
+      const int64_t lr_bits = bits[0] + bits[1];
+      const int64_t ms_bits = bits[2] + bits[3];
+      const int64_t smaller = std::min(lr_bits, ms_bits);
+      const int64_t difference = lr_bits >= ms_bits ? lr_bits - ms_bits : ms_bits - lr_bits;
+      out_choose_ms[b] = ms_bits < lr_bits ? 1 : 0;
+      out_uncertain[b] =
+          (smaller == 0 || difference == 0 || non_diff_any ||
+           difference <= smaller / 100)
+              ? 1
+              : 0;
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (num_threads > 0 && static_cast<unsigned>(num_threads) < hw) hw = static_cast<unsigned>(num_threads);
+  if (hw > B) hw = B;
+  if (hw <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(hw);
+    for (unsigned i = 0; i < hw; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
 }
 
 // ------------------------------------------------------ multi-stream pack

@@ -41,17 +41,29 @@ def main():
     with tempfile.TemporaryDirectory() as d:
         lac_path = os.path.join(d, "big.lac")
         print(f"encoding {n} samples/ch stereo 16-bit ...", flush=True)
-        from lac_tpu.encoder import FrameEncoder
-
         rng = np.random.default_rng(7)
         t = np.arange(n, dtype=np.float64)
         left = (np.sin(2 * np.pi * 220.0 / 44100.0 * t) * 18000).astype(np.int32)
         left += rng.integers(-400, 401, n, dtype=np.int32)
         right = left + rng.integers(-300, 301, n, dtype=np.int32)
-        data = FrameEncoder(12, 2, 44100, 16, xp=np).encode(left, right)
-        with open(lac_path, "wb") as f:
-            f.write(data)
-        del left, right, data
+        ref = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           ".refbuild", "lac_cli")
+        if os.path.exists(ref):  # fast fixture: reference binary encode
+            from lac_tpu.io import write_wav
+
+            wav_path = os.path.join(d, "big.wav")
+            assert write_wav(wav_path, left, right, 2, 44100, 16)
+            subprocess.run([ref, "encode", wav_path, lac_path], check=True,
+                           capture_output=True)
+            os.unlink(wav_path)
+        else:
+            from lac_tpu.encoder import FrameEncoder
+
+            data = FrameEncoder(12, 2, 44100, 16, xp=np).encode(left, right)
+            with open(lac_path, "wb") as f:
+                f.write(data)
+            del data
+        del left, right
         print(f"lac size: {os.path.getsize(lac_path)/2**20:.1f} MiB", flush=True)
 
         env = {**os.environ, "JAX_PLATFORMS": "cpu"}
