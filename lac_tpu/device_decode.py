@@ -22,50 +22,85 @@ from .ops import predictors
 from .ops.stereo import ms_inverse
 
 
+def _pow2(n):
+    return 1 if n <= 1 else 1 << (int(n - 1).bit_length())
+
+
 def _restore_groups(res_planes, block_sizes, sample_offsets, ptype, order, coeffs, xp):
-    """Restore every (block, channel) lane on device, grouped by
-    (predictor type, order). Returns int64 planes + ok flag."""
+    """Restore every (block, channel) lane on device in at most TWO
+    batched calls: one masked-cumsum program for all fixed-predictor
+    lanes (any order 0-4) and one vmapped scan for all FIR/LPC lanes
+    (per-lane taps/shift). Lane gather/scatter is vectorized numpy; lane
+    counts pad to powers of two so executable shapes stay stable across
+    files. Returns int64 planes + ok flag."""
     channels = res_planes.shape[0]
     nb = len(block_sizes)
     out = res_planes.astype(np.int64).copy()
+
+    bsz = np.asarray(block_sizes, np.int64)
+    soff = np.asarray(sample_offsets, np.int64)
+    lmax = int(bsz.max())
+    # lane tables: lane = bi * channels + ch
+    lane_b = np.repeat(np.arange(nb), channels)
+    lane_c = np.tile(np.arange(channels), nb)
+    lane_pt = np.asarray(ptype).reshape(-1)
+    lane_od = np.asarray(order).reshape(-1).astype(np.int64)
+    lane_sz = bsz[lane_b]
+    # (lanes, lmax) gather with clipped indices; invalid tail reads lane start
+    col = np.arange(lmax, dtype=np.int64)
+    gidx = soff[lane_b][:, None] + np.minimum(col[None, :], lane_sz[:, None] - 1)
+    batch_all = res_planes[lane_c[:, None], gidx].astype(np.int32)
+    batch_all[col[None, :] >= lane_sz[:, None]] = 0
+
+    restored = np.empty((nb * channels, lmax), dtype=np.int64)
     ok = True
 
-    lanes = [(bi, ch) for bi in range(nb) for ch in range(channels)]
-    groups = {}
-    for bi, ch in lanes:
-        key = (int(ptype[bi, ch]), int(order[bi, ch]))
-        groups.setdefault(key, []).append((bi, ch))
+    fixed = np.flatnonzero(lane_pt == C.PREDICTOR_FIXED)
+    recur = np.flatnonzero(lane_pt != C.PREDICTOR_FIXED)
+    if fixed.size:
+        G = _pow2(fixed.size)
+        fb = np.zeros((G, lmax), np.int32)
+        fb[: fixed.size] = batch_all[fixed]
+        fo = np.zeros(G, np.int64)
+        fo[: fixed.size] = lane_od[fixed]
+        fl = np.zeros(G, np.int64)
+        fl[: fixed.size] = lane_sz[fixed]
+        r, g_ok = predictors.fixed_restore_multi(
+            xp.asarray(fb), xp.asarray(fo), valid_len=xp.asarray(fl), xp=xp
+        )
+        ok = ok and bool(np.asarray(g_ok)[: fixed.size].all())
+        restored[fixed] = np.asarray(r)[: fixed.size]
+    if ok and recur.size:
+        G = _pow2(recur.size)
+        rb = np.zeros((G, lmax), np.int32)
+        rb[: recur.size] = batch_all[recur]
+        is_fir = lane_pt[recur] == C.PREDICTOR_FIR
+        cs = np.zeros((G, 33), np.int64)
+        cs[: recur.size] = np.asarray(coeffs).reshape(nb * channels, -1)[recur]
+        cs[: recur.size][is_fir] = 0
+        cs[: recur.size, 1][is_fir] = C.FIR_TAPS[0]
+        cs[: recur.size, 2][is_fir] = C.FIR_TAPS[1]
+        ro = np.zeros(G, np.int64)
+        ro[: recur.size] = np.where(is_fir, C.FIR_ORDER, lane_od[recur])
+        sh = np.zeros(G, np.int64)
+        sh[: recur.size] = np.where(is_fir, C.FIR_SHIFT, 15)
+        mp = np.zeros(G, np.int64)
+        mp[: recur.size] = np.where(is_fir, C.FIR_ORDER, 0)
+        rl = np.zeros(G, np.int64)
+        rl[: recur.size] = lane_sz[recur]
+        r, g_ok = predictors.recurrence_restore(
+            xp.asarray(rb), xp.asarray(cs), xp.asarray(ro), xp.asarray(sh),
+            xp.asarray(mp), valid_len=xp.asarray(rl), xp=xp
+        )
+        ok = ok and bool(np.asarray(g_ok)[: recur.size].all())
+        restored[recur] = np.asarray(r)[: recur.size]
+    if not ok:
+        return out, False
 
-    lmax = int(max(block_sizes))
-    for (pt, od), members in groups.items():
-        G = len(members)
-        batch = np.zeros((G, lmax), dtype=np.int32)
-        lens = np.zeros(G, dtype=np.int64)
-        for g, (bi, ch) in enumerate(members):
-            sz = int(block_sizes[bi])
-            off = int(sample_offsets[bi])
-            batch[g, :sz] = res_planes[ch, off : off + sz]
-            lens[g] = sz
-        if pt == C.PREDICTOR_FIXED:
-            restored, g_ok = predictors.fixed_restore(xp.asarray(batch), od, valid_len=xp.asarray(lens), xp=xp)
-        elif pt == C.PREDICTOR_FIR:
-            restored, g_ok = predictors.fir_restore(xp.asarray(batch), valid_len=xp.asarray(lens), xp=xp)
-        else:
-            carr = np.zeros((G, 33), dtype=np.int64)
-            for g, (bi, ch) in enumerate(members):
-                carr[g] = coeffs[bi, ch]
-            restored, g_ok = predictors.lpc_restore(
-                xp.asarray(batch), xp.asarray(carr), od, valid_len=xp.asarray(lens), xp=xp
-            )
-        restored = np.asarray(restored)
-        g_ok = np.asarray(g_ok)
-        ok = ok and bool(g_ok.all())
-        if not ok:
-            return out, False
-        for g, (bi, ch) in enumerate(members):
-            sz = int(block_sizes[bi])
-            off = int(sample_offsets[bi])
-            out[ch, off : off + sz] = restored[g, :sz]
+    # vectorized scatter back into the planes (valid region only)
+    valid = col[None, :] < lane_sz[:, None]
+    rows = np.broadcast_to(lane_c[:, None], gidx.shape)
+    out[rows[valid], gidx[valid]] = restored[valid]
     return out, ok
 
 

@@ -199,6 +199,114 @@ def lpc_restore(res, coeffs_q15, order, valid_len=None, xp=np):
     return y, ok.reshape(res.shape[:-1])
 
 
+def fixed_restore_multi(res, order, valid_len=None, xp=np):
+    """Fixed-order reconstruction with a *per-lane* order vector.
+
+    One array program restores every fixed-predictor lane regardless of
+    its order (0..4): the warmup mapping gathers the per-lane stencil
+    row, then four masked cumsum rounds apply ``order[l]`` prefix sums
+    to lane ``l``. Semantics identical to per-order :func:`fixed_restore`
+    (block/decoder.cpp:308-342 acceptance).
+
+    ``res``: (G, L) residuals; ``order``: (G,) ints. Returns
+    (samples int64 (G, L), ok bool (G,)).
+    """
+    y = xp.asarray(res).astype(xp.int64)
+    G, L = y.shape
+    od = xp.asarray(order).astype(xp.int64)
+    idx = xp.arange(L, dtype=xp.int64)
+    nv = (xp.full((G,), L, dtype=xp.int64) if valid_len is None
+          else xp.asarray(valid_len).astype(xp.int64))
+    vmask = idx[None, :] < nv[:, None]
+
+    # stencil table rows indexed by per-lane order (zero-padded)
+    table = np.zeros((5, 5), dtype=np.int64)
+    for o, w in _FIXED_STENCILS.items():
+        table[o, : len(w)] = w
+    table = xp.asarray(table)
+    w_lane = table[od]  # (G, 5)
+    warm = xp.zeros_like(y)
+    for i in range(5):
+        warm = warm + w_lane[:, i : i + 1] * shift_right(y, i, xp=xp)
+    y = xp.where(idx[None, :] < od[:, None], warm, y)
+
+    ok = xp.ones((G,), dtype=bool)
+    for r in range(4):
+        active = od > r  # (G,)
+        c = xp.cumsum(xp.where(vmask, y, 0), axis=-1)
+        y = xp.where(active[:, None], c, y)
+        ok = ok & (xp.all(xp.where(vmask, xp.abs(y) <= _STAGE_BOUND, True), axis=-1) | ~active)
+    ok = ok & xp.all(xp.where(vmask, (y >= C.INT32_MIN) & (y <= C.INT32_MAX), True), axis=-1)
+    return y, ok
+
+
+def recurrence_restore(res, coeffs, order, shift, min_pred_n, valid_len=None, xp=np):
+    """Closed-loop reconstruction for FIR *and* LPC lanes in ONE vmapped
+    scan: per-lane taps (``coeffs[l, 1:]``), tap count ``order[l]``
+    (grown as ``min(n, order)`` during warmup), predictor shift
+    ``shift[l]`` (2 for FIR, 15 for LPC) and prediction start
+    ``min_pred_n[l]`` (FIR emits raw samples for n < 2; LPC's n=0 case
+    falls out of the empty tap sum).
+
+    ``res``: (G, L); ``coeffs``: (G, >=33). Returns (int64 (G, L), ok (G,)).
+    """
+    res = np.asarray(res) if not is_jax(xp) else res
+    if not is_jax(xp):
+        y = np.asarray(res).astype(np.int64).copy()
+        G, L = y.shape
+        nv = np.full(G, L) if valid_len is None else np.asarray(valid_len)
+        cs = np.asarray(coeffs, dtype=np.int64)
+        ok = np.ones(G, dtype=bool)
+        for g in range(G):
+            r, c = y[g], cs[g]
+            od, sh, mp = int(order[g]), int(shift[g]), int(min_pred_n[g])
+            for n in range(int(nv[g])):
+                taps = min(od, n)
+                acc = 0
+                for i in range(1, taps + 1):
+                    acc += int(c[i]) * int(r[n - i])
+                s = int(r[n]) + ((acc >> sh) if n >= mp else 0)
+                if s < C.INT32_MIN or s > C.INT32_MAX:
+                    ok[g] = False
+                    break
+                r[n] = s
+        return y, ok
+
+    import jax
+    import jax.numpy as jnp
+
+    res = jnp.asarray(res, dtype=jnp.int64)
+    G, L = res.shape
+    omax = int(np.max(np.asarray(order), initial=2))
+    H = next(h for h in (4, 8, 12, 16, 32) if h >= omax)  # static tap bound
+    cs = jnp.asarray(coeffs, dtype=jnp.int64)[:, 1 : H + 1]
+    od = jnp.asarray(order, jnp.int64)
+    sh = jnp.asarray(shift, jnp.int64)
+    mp = jnp.asarray(min_pred_n, jnp.int64)
+    nv = (jnp.full((G,), L, jnp.int64) if valid_len is None
+          else jnp.asarray(valid_len, jnp.int64))
+
+    def one(r, c, od_l, sh_l, mp_l, n_valid):
+        def step(carry, rn):
+            hist, i, ok = carry
+            taps_mask = jnp.arange(H) < jnp.minimum(i, od_l)
+            acc = jnp.sum(jnp.where(taps_mask, c * hist, 0))
+            pred = jnp.where(i >= mp_l, acc >> sh_l, 0)
+            s = rn + pred
+            in_range = (s >= C.INT32_MIN) & (s <= C.INT32_MAX)
+            active = i < n_valid
+            ok = ok & (in_range | ~active)
+            s = jnp.where(active, s, rn)
+            hist = jnp.concatenate([s[None], hist[:-1]])
+            return (hist, i + 1, ok), s
+
+        (_, _, ok), out = jax.lax.scan(step, (jnp.zeros((H,), jnp.int64), jnp.int64(0), True), r)
+        return out, ok
+
+    out, ok = jax.vmap(one)(res, cs, od, sh, mp, nv)
+    return out, ok
+
+
 def _fir_restore_jax(res, valid_len):
     import jax
     import jax.numpy as jnp
