@@ -102,14 +102,16 @@ def k_after_stateful(u, xp=np, recip_table=None):
     )
     bias = xp.where(mean > xp.uint64(0), bias, xp.int32(0))
 
-    # micro window: quotient-distribution counters over the last 96 samples
+    # micro window: quotient-distribution counters over the last 96
+    # samples. Both flag cumsums ride ONE u32 scan: counts are <= L <=
+    # 16384 < 2^16, so is_large packs in the low half and is_zero in the
+    # high half with no carry between them.
     q_base = xp.where(k_base >= xp.int32(C.MAX_RICE_K), xp.uint64(0), u >> k_base.astype(xp.uint64))
-    is_large = (q_base > three).astype(xp.int32)
-    is_zero = (q_base == xp.uint64(0)).astype(xp.int32)
-    cl = xp.cumsum(is_large, axis=-1)
-    cz = xp.cumsum(is_zero, axis=-1)
-    large_cnt = cl - shift_right(cl, C.MICRO_WINDOW, xp=xp)
-    zero_cnt = cz - shift_right(cz, C.MICRO_WINDOW, xp=xp)
+    packed = (q_base > three).astype(xp.uint32) + ((q_base == xp.uint64(0)).astype(xp.uint32) << xp.uint32(16))
+    cp = xp.cumsum(packed, axis=-1)
+    wp = cp - shift_right(cp, C.MICRO_WINDOW, xp=xp)
+    large_cnt = (wp & xp.uint32(0xFFFF)).astype(xp.int32)
+    zero_cnt = (wp >> xp.uint32(16)).astype(xp.int32)
     trigger = count >= xp.uint64(C.MICRO_WINDOW)
     wsize = xp.minimum(idx + 1, xp.int64(C.MICRO_WINDOW)).astype(xp.int32)
     cond_large = large_cnt * 4 >= wsize * 3

@@ -6,10 +6,10 @@ shift+reduce passes over the (B, ncand, n) candidate tensor (the
 biggest memory-traffic item in the planner). This kernel computes all
 17 partial sums in ONE pass over the data with VMEM-resident tiles.
 
-Environment note (axon v5e toolchain, 2026-08): *gridded* pallas_call
-fails to legalize in the remote Mosaic AOT path, so the kernel is
-grid-less (whole-block in VMEM) and the row dimension is driven by
-``jax.lax.map`` over fixed-size chunks.
+Environment note (axon v5e toolchain): gridded ``pallas_call`` failed
+to legalize in the remote Mosaic AOT path until 2026-08; it compiles
+and verifies again on the current toolchain, so the kernel runs with a
+proper 1-D grid (one 64-row VMEM tile per step).
 
 Exactness: identical integer math to the XLA path (hi/lo u16 halves;
 every sum <= 2^30 fits int32 lanes — Mosaic has no unsigned
@@ -53,26 +53,29 @@ def _kernel(u_ref, o_ref):
     o_ref[:] = acc
 
 
-@functools.lru_cache(maxsize=32)
-def _build(n):
+@functools.lru_cache(maxsize=64)
+def _build(rows, n):
+    """Gridded pallas_call over (rows, n): one VMEM tile of _CHUNK_ROWS
+    rows per grid step. The 2026-08 axon Mosaic toolchain legalizes
+    gridded kernels again, so the former grid-less ``lax.map`` fallback
+    (one pallas dispatch per 64-row chunk) is gone."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    call = pl.pallas_call(
+    # index-map constants MUST be built as jnp.int32 inside the lambda:
+    # under jax_enable_x64 a bare 0 promotes to i64 and the Mosaic
+    # remote-compile path dies with "failed to legalize func.return
+    # (i32, i64)" — this was the whole round-1 "gridded pallas_call is
+    # broken" toolchain bug.
+    return pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((_CHUNK_ROWS, 128), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(rows // _CHUNK_ROWS,),
+        in_specs=[pl.BlockSpec((_CHUNK_ROWS, n), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_CHUNK_ROWS, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
     )
-
-    def over_rows(x_i32):  # (rows, n) with rows % CHUNK_ROWS == 0
-        chunks = x_i32.reshape(-1, _CHUNK_ROWS, n)
-        out = jax.lax.map(call, chunks)
-        return out.reshape(-1, 128)
-
-    return over_rows
 
 
 def k_cost_sums(u32_rows):
@@ -84,7 +87,7 @@ def k_cost_sums(u32_rows):
 
     rows, n = u32_rows.shape
     as_i32 = jax.lax.bitcast_convert_type(u32_rows, "int32")
-    out = _build(n)(as_i32)
+    out = _build(rows, n)(as_i32)
     return jax.lax.bitcast_convert_type(out[:, :17], "uint32")
 
 

@@ -71,3 +71,23 @@ def timing_report(label: str) -> None:
             f"{k}={v:.2f}s" for k, v in sorted(_phase_acc.items(), key=lambda kv: -kv[1])
         )
         debug_log(f"[lac-timing] {label}: {parts} (sum {sum(_phase_acc.values()):.2f}s)")
+
+
+# ------------------------------------------------------------ jax profiler
+# LAC_TPU_PROFILE=<dir> wraps each frame encode/decode in a
+# jax.profiler trace (viewable with tensorboard / xprof). The SURVEY §5
+# tracing plan: keep the reference's env-gated flags, add device-level
+# profiling the reference never had.
+
+_PROFILE_DIR = os.environ.get("LAC_TPU_PROFILE") or ""
+
+
+@contextlib.contextmanager
+def device_trace():
+    if not _PROFILE_DIR:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(_PROFILE_DIR):
+        yield

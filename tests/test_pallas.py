@@ -32,3 +32,32 @@ def test_k_cost_sums_matches_reference_math():
     lo = (u & 0xFFFF).astype(np.uint64)
     want = np.stack([hi.sum(-1)] + [(lo >> k).sum(-1) for k in range(16)], axis=-1)
     np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+def test_k_cost_sums_gridded_matches_reference_math():
+    """Production layout: 1-D grid over row tiles, int32 index-map
+    constants (the x64 legalization fix in pallas_kernels._build)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, n = 4 * pk._CHUNK_ROWS, 512
+    rng = np.random.RandomState(11)
+    u = rng.randint(0, 2**32, (rows, n), dtype=np.uint64).astype(np.uint32)
+
+    call = pl.pallas_call(
+        pk._kernel,
+        grid=(rows // pk._CHUNK_ROWS,),
+        in_specs=[pl.BlockSpec((pk._CHUNK_ROWS, n), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((pk._CHUNK_ROWS, 128), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        interpret=True,
+    )
+    got = np.asarray(call(jax.lax.bitcast_convert_type(jnp.asarray(u), "int32")))
+    got = got[:, :17].astype(np.int64) % (1 << 32)
+
+    hi = (u >> 16).astype(np.uint64)
+    lo = (u & 0xFFFF).astype(np.uint64)
+    want = np.stack([hi.sum(-1)] + [(lo >> k).sum(-1) for k in range(16)], axis=-1)
+    np.testing.assert_array_equal(got, want.astype(np.int64))
