@@ -132,7 +132,7 @@ def bench_long():
     left, right = make_long(51)
     enc.encode(left, right)  # warm: compiles/loads excluded from timing
     best = float("inf")
-    for seed in (52, 53):
+    for seed in (52, 53, 54):
         left, right = make_long(seed)
         t0 = time.perf_counter()
         bs = enc.encode(left, right)
@@ -151,6 +151,36 @@ def bench_long():
         ref_fps = LONG_FRAMES / (time.perf_counter() - t0)
         parity = open(lac, "rb").read() == bs
     return ours_fps, ref_fps, parity
+
+
+def bench_decode(bitstream):
+    """Decode throughput on the 30 s corpus (full .lac -> on-disk WAV,
+    matching the reference CLI's work): ours (native v3 streaming path)
+    and the reference CLI, best of 3. Returns (ours fps, ref fps or None)."""
+    from lac_tpu.decoder import FrameDecoder
+
+    dec = FrameDecoder()
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/dec.wav"
+        dec.decode_to_wav(bitstream, out)  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dec.decode_to_wav(bitstream, out)
+            best = min(best, time.perf_counter() - t0)
+    ours = FRAMES / best
+    if not REF.exists():
+        return ours, None
+    with tempfile.TemporaryDirectory() as td:
+        lac = f"{td}/bench.lac"
+        wav = f"{td}/bench.wav"
+        open(lac, "wb").write(bitstream)
+        rbest = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            subprocess.run([str(REF), "decode", lac, wav], check=True, capture_output=True)
+            rbest = min(rbest, time.perf_counter() - t0)
+    return ours, FRAMES / rbest
 
 
 def main():
@@ -178,6 +208,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs, 3) if vs else None,
     }
+    dec_fps, dec_ref = bench_decode(bitstream)
+    result["decode_value"] = round(dec_fps, 1)
+    if dec_ref:
+        result["decode_vs_baseline"] = round(dec_fps / dec_ref, 3)
     if os.environ.get("LAC_BENCH_SKIP_LONG") != "1":
         long_fps, long_ref, long_parity = bench_long()
         result["long_frames"] = LONG_FRAMES

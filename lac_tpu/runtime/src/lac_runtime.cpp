@@ -21,6 +21,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#include <immintrin.h>
+#define LAC_SIMD_LPC 1
+#endif
+
 namespace {
 
 // ------------------------------------------------------------------ reader
@@ -844,6 +849,52 @@ inline void rice_emit(BitSink& w, uint32_t u, uint32_t k) {
   if (k > 0) w.bits(u & ((1u << k) - 1u), static_cast<int>(k));
 }
 
+// LPC open-loop residual steady state (i >= order), SIMD when available.
+// res[i] = trunc32(x[i] - ((sum_j c[j]*x[i-j]) >> 15)); products <= 2^46
+// and 12-tap sums <= 2^50, exact in int64 lanes. The analog of the
+// reference's NEON lpc_residual pipeline (simd/neon.cpp:61-264) for the
+// AVX-512 hosts this runtime targets. When `bad` is non-null it
+// accumulates the int32-range check of lpc_residual_checked.
+inline void lpc_residual_steady(const int32_t* x, uint32_t n, const int16_t* coeffs,
+                                uint32_t order, int32_t* res, bool* bad) {
+  constexpr int64_t i32min = INT32_MIN, i32max = INT32_MAX;
+  uint32_t i = order;
+#if defined(LAC_SIMD_LPC)
+  if (n >= order + 8) {
+    __m512i cvec[33];
+    for (uint32_t j = 1; j <= order; ++j) cvec[j] = _mm512_set1_epi64(coeffs[j]);
+    const __m512i vmin = _mm512_set1_epi64(i32min);
+    const __m512i vmax = _mm512_set1_epi64(i32max);
+    __mmask8 oob = 0;
+    for (; i + 8 <= n; i += 8) {
+      __m512i acc = _mm512_setzero_si512();
+      for (uint32_t j = 1; j <= order; ++j) {
+        const __m512i xv = _mm512_cvtepi32_epi64(
+            _mm256_loadu_si256(reinterpret_cast<const __m256i*>(x + i - j)));
+        acc = _mm512_add_epi64(acc, _mm512_mullo_epi64(xv, cvec[j]));
+      }
+      const __m512i xi = _mm512_cvtepi32_epi64(
+          _mm256_loadu_si256(reinterpret_cast<const __m256i*>(x + i)));
+      const __m512i diff = _mm512_sub_epi64(xi, _mm512_srai_epi64(acc, 15));
+      if (bad) {
+        oob |= _mm512_cmp_epi64_mask(diff, vmin, _MM_CMPINT_LT);
+        oob |= _mm512_cmp_epi64_mask(vmax, diff, _MM_CMPINT_LT);
+      }
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(res + i),
+                          _mm512_cvtepi64_epi32(diff));
+    }
+    if (bad && oob) *bad = true;
+  }
+#endif
+  for (; i < n; ++i) {
+    int64_t acc = 0;
+    for (uint32_t j = 1; j <= order; ++j) acc += static_cast<int64_t>(coeffs[j]) * x[i - j];
+    const int64_t diff = x[i] - (acc >> 15);
+    if (bad && (diff < i32min || diff > i32max)) *bad = true;
+    res[i] = static_cast<int32_t>(diff);
+  }
+}
+
 // open-loop residual of the chosen predictor (encoder side)
 void compute_residual(const int32_t* x, uint32_t n, uint32_t ptype, uint32_t order,
                       const int16_t* coeffs, int32_t* res) {
@@ -873,12 +924,13 @@ void compute_residual(const int32_t* x, uint32_t n, uint32_t ptype, uint32_t ord
       res[i] = static_cast<int32_t>(x[i] - pred);
     }
   } else {  // LPC open loop, warmup taps limited by index
-    for (uint32_t i = 0; i < n; ++i) {
-      const uint32_t taps = i < order ? i : order;
+    const uint32_t warm = order < n ? order : n;
+    for (uint32_t i = 0; i < warm; ++i) {
       int64_t acc = 0;
-      for (uint32_t j = 1; j <= taps; ++j) acc += static_cast<int64_t>(coeffs[j]) * x[i - j];
+      for (uint32_t j = 1; j <= i; ++j) acc += static_cast<int64_t>(coeffs[j]) * x[i - j];
       res[i] = static_cast<int32_t>(x[i] - (acc >> 15));
     }
+    lpc_residual_steady(x, n, coeffs, order, res, nullptr);
   }
 }
 
@@ -1181,16 +1233,17 @@ inline uint64_t pad8(uint64_t bits) { return bits + ((8 - (bits & 7)) & 7); }
 // orders exactly. Returns false when any difference leaves int32.
 inline bool lpc_residual_checked(const int32_t* x, uint32_t n, const int16_t* coeffs,
                                  uint32_t order, int32_t* res) {
-  bool ok = true;
-  for (uint32_t i = 0; i < n; ++i) {
-    const uint32_t taps = i < order ? i : order;
+  bool bad = false;
+  const uint32_t warm = order < n ? order : n;
+  for (uint32_t i = 0; i < warm; ++i) {
     int64_t acc = 0;
-    for (uint32_t j = 1; j <= taps; ++j) acc += static_cast<int64_t>(coeffs[j]) * x[i - j];
+    for (uint32_t j = 1; j <= i; ++j) acc += static_cast<int64_t>(coeffs[j]) * x[i - j];
     const int64_t diff = x[i] - (acc >> 15);
-    ok &= diff >= kI32Min && diff <= kI32Max;
+    bad |= diff < kI32Min || diff > kI32Max;
     res[i] = static_cast<int32_t>(diff);
   }
-  return ok;
+  lpc_residual_steady(x, n, coeffs, order, res, &bad);
+  return !bad;
 }
 
 struct CandScore {
