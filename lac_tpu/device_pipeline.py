@@ -40,12 +40,27 @@ from .utils import debug as _dbg
 N = C.MAX_BLOCK_SIZE
 PROBE = C.STEREO_PROBE_SIZE
 PROBE_POS = (0, (N - PROBE) // 2, N - PROBE)  # lac/encoder.cpp:336-343
-# chunk width: one fixed shape for every analyze/plan executable (shape
-# diversity = minutes of extra compiles). 128 is the TPU production
-# width; the CPU test suite shrinks it (tests/conftest.py) because a
-# (128, 16384) planner compile takes tens of minutes on one CPU core.
-CHUNK_BLOCKS = int(os.environ.get("LAC_TPU_CHUNK_BLOCKS", "128"))
+# chunk width: fixed shapes for every analyze/plan executable (shape
+# diversity = minutes of extra compiles). The TPU production widths form
+# a two-step ladder — 128 for short files (less padding waste), 256 once
+# a file has at least 256 full blocks (fewer tunnel round trips; 25M
+# frames measured 4.8-5.6M fps at K=128 vs 5.7-7.2M at K=256; K=512
+# showed no further gain). The CPU test suite pins a small width via
+# LAC_TPU_CHUNK_BLOCKS (tests/conftest.py) because a (128, 16384)
+# planner compile takes tens of minutes on one CPU core.
+CHUNK_BLOCKS = int(os.environ.get("LAC_TPU_CHUNK_BLOCKS", "0"))  # 0 = ladder
+CHUNK_LADDER = (128, 256)
 MIN_FULL_BLOCKS = 8
+
+
+def chunk_width(nfull):
+    if CHUNK_BLOCKS:
+        return CHUNK_BLOCKS
+    k = CHUNK_LADDER[0]
+    for cand in CHUNK_LADDER[1:]:
+        if nfull >= cand:
+            k = cand
+    return k
 
 
 def applicable(frame_enc, nfull):
@@ -190,10 +205,10 @@ class _ChunkJob:
         plan = _jitted_plan(N, pipe.zero_run, pipe.partitioning, False)
         self.futs = []
         with _dbg.phase("plan_dispatch"):
-            for lo in range(0, len(rows), CHUNK_BLOCKS):
-                sub = self.rows[lo : lo + CHUNK_BLOCKS]
+            for lo in range(0, len(rows), K):
+                sub = self.rows[lo : lo + K]
                 nsub = len(sub)
-                bp = CHUNK_BLOCKS  # single fixed executable shape
+                bp = K  # single fixed executable shape per width
                 if nsub < bp:
                     sub = np.concatenate([sub, np.zeros(bp - nsub, np.int32)])
                 cpad = np.zeros((coeffs.shape[0], bp, 13), np.int16)
@@ -239,7 +254,7 @@ class _ChunkJob:
         plan = _jitted_plan(PROBE, pipe.zero_run, pipe.partitioning, False)
         # one fixed probe batch shape (12 probe lanes x up to K blocks):
         # padding is cheap (256-sample lanes), a second executable is not
-        cap = 12 * CHUNK_BLOCKS
+        cap = 12 * K
         self.probe_futs = []
         with _dbg.phase("plan_dispatch"):
             for lo in range(0, len(rows), cap):
@@ -270,27 +285,10 @@ class _ChunkJob:
             metas = [np.asarray(f["meta"])[:nsub] for f, nsub in self.futs]
         meta = np.concatenate(metas) if len(metas) > 1 else metas[0]
 
-        # lanes replay straight from the resident channel planes: the
-        # native emitter derives L/R/M/S rows in-cache (no host-side
-        # (lanes, N) PCM assembly pass)
-        with _dbg.phase("emit_prep"):
-            rows = np.asarray([self.c0 + i for i, _, _ in self.recs], np.int32)
-            variants = np.asarray([v == "ms" for _, v, _ in self.recs], np.uint8)
-            slots = np.asarray([s for _, _, s in self.recs], np.uint8)
-            starts = np.zeros(len(self.recs), np.uint32)
-            plan = expand_plan(meta, self.coeffs, self.used, self.mvo, N, pipe.partitioning)
-        with _dbg.phase("native_emit"):
-            payloads = emit_blocks_planes_native(
-                pipe.lview, pipe.rview, rows, variants, slots, starts, N,
-                *plan, num_threads=pipe.thread_count,
-            )
-            if payloads is None:
-                raise RuntimeError("native emitter unavailable")
-
-        out_payloads = {}  # local block -> {variant: {slot: bytes}}
-        for (i, variant, slot), pb in zip(self.recs, payloads):
-            out_payloads.setdefault(i, {}).setdefault(variant, {})[slot] = pb
-
+        # resolve uncertain stereo decisions BEFORE full-lane emission:
+        # the device planned both full variants speculatively (one wave,
+        # no extra round trip), but the serial host emit only runs for
+        # the winning variant's two lanes per block
         flags, uncertain = {}, {}
         if pipe.kind == "auto":
             for i in range(kc):
@@ -299,16 +297,41 @@ class _ChunkJob:
                     flags[i] = 1 if self.cm[i] else 0
             if self.un.any():
                 self._finish_probes(flags)
-        result = {}
-        for i in range(kc):
-            variant = None
+
+        def _wins(i, variant):
             if pipe.kind in ("mono", "lr"):
-                variant = "lr"
-            elif pipe.kind == "ms":
-                variant = "ms"
-            else:
-                variant = "ms" if flags[i] else "lr"
-            result[self.c0 + i] = out_payloads[i][variant]
+                return variant == "lr"
+            if pipe.kind == "ms":
+                return variant == "ms"
+            return variant == ("ms" if flags[i] else "lr")
+
+        sel = [j for j, (i, v, _) in enumerate(self.recs) if _wins(i, v)]
+        recs = [self.recs[j] for j in sel]
+
+        # lanes replay straight from the resident channel planes: the
+        # native emitter derives L/R/M/S rows in-cache (no host-side
+        # (lanes, N) PCM assembly pass)
+        with _dbg.phase("emit_prep"):
+            rows = np.asarray([self.c0 + i for i, _, _ in recs], np.int32)
+            variants = np.asarray([v == "ms" for _, v, _ in recs], np.uint8)
+            slots = np.asarray([s for _, _, s in recs], np.uint8)
+            starts = np.zeros(len(recs), np.uint32)
+            sel_np = np.asarray(sel, np.intp)
+            plan = expand_plan(
+                meta[sel_np], self.coeffs[:, sel_np], self.used[:, sel_np],
+                self.mvo, N, pipe.partitioning,
+            )
+        with _dbg.phase("native_emit"):
+            payloads = emit_blocks_planes_native(
+                pipe.lview, pipe.rview, rows, variants, slots, starts, N,
+                *plan, num_threads=pipe.thread_count,
+            )
+            if payloads is None:
+                raise RuntimeError("native emitter unavailable")
+
+        result = {}
+        for (i, variant, slot), pb in zip(recs, payloads):
+            result.setdefault(self.c0 + i, {})[slot] = pb
         return (
             result,
             {self.c0 + i: f for i, f in flags.items()},
@@ -368,7 +391,7 @@ class PlanePipeline:
         # fixed chunk width: every analyze/plan executable has one shape
         # (compiles are minutes on the axon remote-compile service, so
         # shape diversity is the enemy; short files pad up)
-        self.K = CHUNK_BLOCKS
+        self.K = chunk_width(nfull)
         dt = np.int16 if frame_enc.bit_depth == 16 else np.int32
         self.lview = np.ascontiguousarray(
             left[: nfull * N].reshape(nfull, N), dtype=dt

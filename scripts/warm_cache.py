@@ -38,23 +38,24 @@ def warm(n, buckets, emit_fields, dtype=np.int16):
 
 def warm_planes():
     """Plane-pipeline executables (device_pipeline): analyze per stereo
-    kind/dtype, the row gathers, and the fixed plan batch shapes."""
+    kind/dtype/ladder width, the row gathers, and the plan batch shapes."""
     from lac_tpu import device_pipeline as DP
 
-    K = DP.CHUNK_BLOCKS
-    rows128 = jax.device_put(np.zeros(K, np.int32))
-    for kind in ("auto", "lr", "ms", "mono"):
-        for dt in (np.int16, np.int32):
-            t0 = time.time()
-            lmat = jax.device_put(np.zeros((K, DP.N), dt))
-            out = DP._jitted_analyze(K, kind, str(np.dtype(dt)))(lmat, lmat)
-            jax.block_until_ready(out["lags"])
-            g = DP._jitted_gather(DP.N)(out["planes"], rows128)
-            jax.block_until_ready(g)
-            if kind == "auto":
-                probe_rows = jax.device_put(np.zeros(12 * K, np.int32))
-                jax.block_until_ready(DP._jitted_gather(DP.PROBE)(out["probes"], probe_rows))
-            print(f"analyze kind={kind} dtype={np.dtype(dt).name}: {time.time() - t0:.1f}s", flush=True)
+    widths = (DP.CHUNK_BLOCKS,) if DP.CHUNK_BLOCKS else DP.CHUNK_LADDER
+    for K in widths:
+        rowsK = jax.device_put(np.zeros(K, np.int32))
+        for kind in ("auto", "lr", "ms", "mono"):
+            for dt in (np.int16, np.int32):
+                t0 = time.time()
+                lmat = jax.device_put(np.zeros((K, DP.N), dt))
+                out = DP._jitted_analyze(K, kind, str(np.dtype(dt)))(lmat, lmat)
+                jax.block_until_ready(out["lags"])
+                g = DP._jitted_gather(DP.N)(out["planes"], rowsK)
+                jax.block_until_ready(g)
+                if kind == "auto":
+                    probe_rows = jax.device_put(np.zeros(12 * K, np.int32))
+                    jax.block_until_ready(DP._jitted_gather(DP.PROBE)(out["probes"], probe_rows))
+                print(f"analyze K={K} kind={kind} dtype={np.dtype(dt).name}: {time.time() - t0:.1f}s", flush=True)
 
 
 def main():
@@ -68,8 +69,11 @@ def main():
     emit_fields = not native_available()
     warm_planes()
     # plane-pipeline plan shapes (int32 gathered rows, fixed batches)
-    warm(C.MAX_BLOCK_SIZE, (128,), emit_fields, np.int32)
-    warm(C.STEREO_PROBE_SIZE, (12 * 128,), emit_fields, np.int32)
+    from lac_tpu import device_pipeline as DP
+
+    widths = (DP.CHUNK_BLOCKS,) if DP.CHUNK_BLOCKS else DP.CHUNK_LADDER
+    warm(C.MAX_BLOCK_SIZE, widths, emit_fields, np.int32)
+    warm(C.STEREO_PROBE_SIZE, tuple(12 * K for K in widths), emit_fields, np.int32)
     # legacy group-path buckets (int16 when content fits, else int32)
     warm(C.MAX_BLOCK_SIZE, (1, 2, 4, 8, 16, 32, 64, 128), emit_fields)
     warm(C.STEREO_PROBE_SIZE, (16, 64, 256, 1024), emit_fields)

@@ -95,3 +95,15 @@ def test_applicability_gates():
     assert not DP.applicable(enc_np, 100)
     enc.mesh = object()  # any configured mesh routes through parallel.mesh
     assert not DP.applicable(enc, 100)
+
+
+def test_chunk_width_ladder(monkeypatch):
+    # env pin (the suite's conftest sets LAC_TPU_CHUNK_BLOCKS) wins
+    monkeypatch.setattr(DP, "CHUNK_BLOCKS", 16)
+    assert DP.chunk_width(10_000) == 16
+    # unset -> ladder: small files use the small width, large the big one
+    monkeypatch.setattr(DP, "CHUNK_BLOCKS", 0)
+    assert DP.chunk_width(DP.MIN_FULL_BLOCKS) == DP.CHUNK_LADDER[0]
+    assert DP.chunk_width(DP.CHUNK_LADDER[1] - 1) == DP.CHUNK_LADDER[0]
+    assert DP.chunk_width(DP.CHUNK_LADDER[1]) == DP.CHUNK_LADDER[1]
+    assert DP.chunk_width(10**6) == DP.CHUNK_LADDER[-1]
