@@ -67,22 +67,33 @@ def applicable(frame_enc, nfull):
     from .ops._backend import is_jax
     from .runtime.native import native_available
 
-    return (
-        is_jax(frame_enc.xp)
-        and native_available()
-        and nfull >= MIN_FULL_BLOCKS
-        # with a mesh configured the plan batches shard through
-        # parallel.mesh in the group path instead
-        and getattr(frame_enc, "mesh", None) is None
-    )
+    if not (is_jax(frame_enc.xp) and native_available() and nfull >= MIN_FULL_BLOCKS):
+        return False
+    mesh = getattr(frame_enc, "mesh", None)
+    if mesh is None:
+        return True
+    # sharded plane pipeline: the chunk's block axis splits evenly over
+    # the mesh (128/256 cover every power-of-two mesh; odd meshes and
+    # mesh-like stand-ins fall back to the sharded legacy group path)
+    try:
+        nd = int(np.prod(list(mesh.shape.values())))
+    except Exception:
+        return False
+    return chunk_width(nfull) % nd == 0
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_analyze(K, kind, in_dtype):
+def _jitted_analyze(K, kind, in_dtype, mesh=None):
+    """Fused per-chunk analyze. With a mesh, the SAME per-block body runs
+    under shard_map over the block axis — every output keeps a
+    shard-major layout (shard s owns blocks [s*K/nd, (s+1)*K/nd)), so
+    downstream lane indexing goes through :func:`_row_of` and the plan
+    consumes the sharded ``planes`` array with zero resharding."""
     import jax
     import jax.numpy as jnp
 
-    mask_np = np.ones((K, N), bool)
+    Kl = K if mesh is None else K // int(np.prod(list(mesh.shape.values())))
+    mask_np = np.ones((Kl, N), bool)
 
     def analyze(lmat, rmat):
         l32 = lmat.astype(jnp.int32)
@@ -108,11 +119,29 @@ def _jitted_analyze(K, kind, in_dtype):
                     out["probes"] = probes.reshape(-1, PROBE)
                     out["plags"] = lpc.autocorrelation(out["probes"], 12, xp=jnp)
         P = planes.shape[0]
-        out["planes"] = planes.reshape(P * K, N)
+        out["planes"] = planes.reshape(P * Kl, N)
         out["lags"] = lpc.autocorrelation(out["planes"], 12, xp=jnp)
         return out
 
-    return jax.jit(analyze)
+    if mesh is None:
+        return jax.jit(analyze)
+
+    from jax.sharding import PartitionSpec as SP
+
+    from .parallel.mesh import BLOCK_AXIS, shard_map
+
+    out_specs = {"planes": SP(BLOCK_AXIS), "lags": SP(BLOCK_AXIS)}
+    if kind == "auto":
+        out_specs.update(
+            cm=SP(BLOCK_AXIS), un=SP(BLOCK_AXIS),
+            probes=SP(BLOCK_AXIS), plags=SP(BLOCK_AXIS),
+        )
+    fn = shard_map(
+        analyze, mesh=mesh,
+        in_specs=(SP(BLOCK_AXIS, None), SP(BLOCK_AXIS, None)),
+        out_specs=out_specs, check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=8)
@@ -129,6 +158,24 @@ class _ChunkJob:
         self.pipe = pipe
         self.c0 = c0  # first block index (within the full-block prefix)
         self.kc = kc  # real blocks in this chunk (<= K)
+
+    # lane-row helpers: analyze output layouts are plane-major on one
+    # device, shard-major (shard, plane, local-block) under a mesh
+    def _row_of(self, p, i):
+        pipe = self.pipe
+        if pipe.mesh is None:
+            return p * pipe.K + i
+        Kl = pipe.K // pipe.nd
+        s, ib = divmod(i, Kl)
+        return (s * pipe.nplanes + p) * Kl + ib
+
+    def _probe_row_of(self, p, i, pos):
+        pipe = self.pipe
+        if pipe.mesh is None:
+            return (p * pipe.K + i) * 3 + pos
+        Kl = pipe.K // pipe.nd
+        s, ib = divmod(i, Kl)
+        return ((s * 4 + p) * Kl + ib) * 3 + pos
 
     # ------------------------------------------------------------ stage 1
     def dispatch_analyze(self):
@@ -147,9 +194,18 @@ class _ChunkJob:
                     padr = np.zeros((K, N), rmat.dtype)
                     padr[: self.kc] = rmat
                     rmat = padr
-            fn = _jitted_analyze(K, pipe.kind, str(lmat.dtype))
-            args = (jax.device_put(lmat),)
-            args += (jax.device_put(rmat),) if rmat is not None else (jax.device_put(lmat),)
+            fn = _jitted_analyze(K, pipe.kind, str(lmat.dtype), pipe.mesh)
+            if pipe.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as SP
+
+                from .parallel.mesh import BLOCK_AXIS
+
+                sh = NamedSharding(pipe.mesh, SP(BLOCK_AXIS, None))
+                put = lambda a: jax.device_put(a, sh)
+            else:
+                put = jax.device_put
+            args = (put(lmat),)
+            args += (put(rmat),) if rmat is not None else (put(lmat),)
             self.dev = fn(*args)
         for key in ("cm", "un", "lags", "plags"):
             if key in self.dev:
@@ -160,6 +216,7 @@ class _ChunkJob:
 
     # ------------------------------------------------------------ stage 2
     def dispatch_plan(self):
+        import jax
         import jax.numpy as jnp
 
         from .encoder import _jitted_plan, lpc_candidates_from_lags
@@ -175,53 +232,84 @@ class _ChunkJob:
         self.cm, self.un = cm, un
 
         # full-lane row list: (flat plane row, local block, variant, slot)
+        # variant/slot -> plane index: L=0 R=1 (or M=0 S=1 when the kind
+        # itself is ms), M=2 S=3 within the 4-plane auto layout
         rows, recs = [], []
         for i in range(kc):
             if pipe.kind == "mono":
-                rows += [i]
+                rows += [self._row_of(0, i)]
                 recs += [(i, "lr", 0)]
             elif pipe.kind == "lr":
-                rows += [i, K + i]
+                rows += [self._row_of(0, i), self._row_of(1, i)]
                 recs += [(i, "lr", 0), (i, "lr", 1)]
             elif pipe.kind == "ms":
-                rows += [i, K + i]
+                rows += [self._row_of(0, i), self._row_of(1, i)]
                 recs += [(i, "ms", 0), (i, "ms", 1)]
             elif un[i]:
-                rows += [i, K + i, 2 * K + i, 3 * K + i]
+                rows += [self._row_of(p, i) for p in range(4)]
                 recs += [(i, "lr", 0), (i, "lr", 1), (i, "ms", 0), (i, "ms", 1)]
             elif cm[i]:
-                rows += [2 * K + i, 3 * K + i]
+                rows += [self._row_of(2, i), self._row_of(3, i)]
                 recs += [(i, "ms", 0), (i, "ms", 1)]
             else:
-                rows += [i, K + i]
+                rows += [self._row_of(0, i), self._row_of(1, i)]
                 recs += [(i, "lr", 0), (i, "lr", 1)]
         self.rows, self.recs = np.asarray(rows, np.int32), recs
 
-        with _dbg.phase("host_ld"):
-            coeffs, used, lvalid, mvo = lpc_candidates_from_lags(lags[self.rows], N)
-        self.coeffs, self.used, self.mvo = coeffs, used, mvo
+        if pipe.mesh is not None:
+            # sharded plan: every plane lane of every block is planned in
+            # place — the sharded `planes` array feeds shard_map'd
+            # plan_group with zero resharding and no cross-shard gather
+            # (each block's lanes live on its own shard); per-lane work
+            # is identical, the extra (losing-variant) lanes ride the
+            # mesh's spare throughput. Selection happens at meta level.
+            from jax.sharding import NamedSharding, PartitionSpec as SP
 
-        gather = _jitted_gather(N)
-        plan = _jitted_plan(N, pipe.zero_run, pipe.partitioning, False)
-        self.futs = []
-        with _dbg.phase("plan_dispatch"):
-            for lo in range(0, len(rows), K):
-                sub = self.rows[lo : lo + K]
-                nsub = len(sub)
-                bp = K  # single fixed executable shape per width
-                if nsub < bp:
-                    sub = np.concatenate([sub, np.zeros(bp - nsub, np.int32)])
-                cpad = np.zeros((coeffs.shape[0], bp, 13), np.int16)
-                cpad[:, :nsub] = coeffs[:, lo : lo + nsub]
-                vpad = np.zeros((lvalid.shape[0], bp), bool)
-                vpad[:, :nsub] = lvalid[:, lo : lo + nsub]
-                g = gather(self.dev["planes"], jnp.asarray(sub))
-                fut = plan(g, jnp.asarray(cpad), jnp.asarray(vpad))
+            from .parallel.mesh import BLOCK_AXIS, _sharded_plan_fn
+
+            with _dbg.phase("host_ld"):
+                coeffs, used, lvalid, mvo = lpc_candidates_from_lags(lags, N)
+            self.coeffs = coeffs[:, self.rows]
+            self.used = used[:, self.rows]
+            self.mvo = mvo
+            fn = _sharded_plan_fn(pipe.mesh, N, pipe.zero_run, pipe.partitioning, False)
+            with _dbg.phase("plan_dispatch"):
+                with pipe.mesh:
+                    lane_sh = NamedSharding(pipe.mesh, SP(None, BLOCK_AXIS))
+                    cs = jax.device_put(jnp.asarray(coeffs), lane_sh)
+                    vs = jax.device_put(jnp.asarray(lvalid), lane_sh)
+                    fut = fn(self.dev["planes"], cs, vs)
                 try:
                     fut["meta"].copy_to_host_async()
                 except AttributeError:
                     pass
-                self.futs.append((fut, nsub))
+                self.futs = [(fut, self.dev["planes"].shape[0])]
+        else:
+            with _dbg.phase("host_ld"):
+                coeffs, used, lvalid, mvo = lpc_candidates_from_lags(lags[self.rows], N)
+            self.coeffs, self.used, self.mvo = coeffs, used, mvo
+
+            gather = _jitted_gather(N)
+            plan = _jitted_plan(N, pipe.zero_run, pipe.partitioning, False)
+            self.futs = []
+            with _dbg.phase("plan_dispatch"):
+                for lo in range(0, len(rows), K):
+                    sub = self.rows[lo : lo + K]
+                    nsub = len(sub)
+                    bp = K  # single fixed executable shape per width
+                    if nsub < bp:
+                        sub = np.concatenate([sub, np.zeros(bp - nsub, np.int32)])
+                    cpad = np.zeros((coeffs.shape[0], bp, 13), np.int16)
+                    cpad[:, :nsub] = coeffs[:, lo : lo + nsub]
+                    vpad = np.zeros((lvalid.shape[0], bp), bool)
+                    vpad[:, :nsub] = lvalid[:, lo : lo + nsub]
+                    g = gather(self.dev["planes"], jnp.asarray(sub))
+                    fut = plan(g, jnp.asarray(cpad), jnp.asarray(vpad))
+                    try:
+                        fut["meta"].copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    self.futs.append((fut, nsub))
 
         if pipe.kind == "auto" and un.any():
             self._dispatch_probe_plan()
@@ -229,22 +317,48 @@ class _ChunkJob:
             self.probe_futs = None
 
     def _dispatch_probe_plan(self):
+        import jax
         import jax.numpy as jnp
 
         from .encoder import _jitted_plan, lpc_candidates_from_lags
 
         pipe, K = self.pipe, self.pipe.K
         plags = np.asarray(self.dev["plags"])
-        # probe row layout inside (4, K, 3, PROBE).reshape(-1, PROBE):
-        # flat = (plane * K + block) * 3 + pos
+        # probe row layout inside (4, Kl, 3, PROBE).reshape(-1, PROBE)
+        # (plane-major on one device, shard-major under a mesh):
         rows, recs = [], []
         for i in np.nonzero(self.un)[0]:
             for variant, pl0 in (("lr", 0), ("ms", 2)):
                 for pl in (pl0, pl0 + 1):
                     for pos in range(3):
-                        rows.append((pl * K + int(i)) * 3 + pos)
+                        rows.append(self._probe_row_of(pl, int(i), pos))
                         recs.append((int(i), variant))
         self.probe_rows, self.probe_recs = np.asarray(rows, np.int32), recs
+
+        if pipe.mesh is not None:
+            # sharded probe plan over ALL 12K probe lanes in place
+            from jax.sharding import NamedSharding, PartitionSpec as SP
+
+            from .parallel.mesh import BLOCK_AXIS, _sharded_plan_fn
+
+            with _dbg.phase("host_ld"):
+                coeffs, used, lvalid, mvo = lpc_candidates_from_lags(plags, PROBE)
+            self.probe_coeffs = coeffs[:, self.probe_rows]
+            self.probe_used = used[:, self.probe_rows]
+            self.probe_mvo = mvo
+            fn = _sharded_plan_fn(pipe.mesh, PROBE, pipe.zero_run, pipe.partitioning, False)
+            with _dbg.phase("plan_dispatch"):
+                with pipe.mesh:
+                    lane_sh = NamedSharding(pipe.mesh, SP(None, BLOCK_AXIS))
+                    cs = jax.device_put(jnp.asarray(coeffs), lane_sh)
+                    vs = jax.device_put(jnp.asarray(lvalid), lane_sh)
+                    fut = fn(self.dev["probes"], cs, vs)
+                try:
+                    fut["meta"].copy_to_host_async()
+                except AttributeError:
+                    pass
+                self.probe_futs = [(fut, self.dev["probes"].shape[0])]
+            return
 
         with _dbg.phase("host_ld"):
             coeffs, used, lvalid, mvo = lpc_candidates_from_lags(plags[self.probe_rows], PROBE)
@@ -284,6 +398,8 @@ class _ChunkJob:
         with _dbg.phase("meta_fetch"):
             metas = [np.asarray(f["meta"])[:nsub] for f, nsub in self.futs]
         meta = np.concatenate(metas) if len(metas) > 1 else metas[0]
+        if pipe.mesh is not None:  # all-lane shard-major meta -> recs order
+            meta = meta[self.rows]
 
         # resolve uncertain stereo decisions BEFORE full-lane emission:
         # the device planned both full variants speculatively (one wave,
@@ -346,6 +462,8 @@ class _ChunkJob:
         with _dbg.phase("meta_fetch"):
             metas = [np.asarray(f["meta"])[:nsub] for f, nsub in self.probe_futs]
         meta = np.concatenate(metas) if len(metas) > 1 else metas[0]
+        if pipe.mesh is not None:  # all-lane shard-major meta -> recs order
+            meta = meta[self.probe_rows]
 
         with _dbg.phase("emit_prep"):
             rows, variants, slots, starts = [], [], [], []
@@ -388,6 +506,11 @@ class PlanePipeline:
         self.zero_run = bool(frame_enc.zero_run_enabled)
         self.partitioning = bool(frame_enc.partitioning_enabled)
         self.thread_count = int(frame_enc.thread_count)
+        self.mesh = getattr(frame_enc, "mesh", None)
+        self.nd = (
+            int(np.prod(list(self.mesh.shape.values()))) if self.mesh is not None else 1
+        )
+        self.nplanes = {"mono": 1, "lr": 2, "ms": 2, "auto": 4}[kind]
         # fixed chunk width: every analyze/plan executable has one shape
         # (compiles are minutes on the axon remote-compile service, so
         # shape diversity is the enemy; short files pad up)

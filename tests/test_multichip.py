@@ -95,3 +95,23 @@ def test_thread_count_invariance():
         dl, dr, _ = dec.decode(bs1)
         np.testing.assert_array_equal(dl, l)
         np.testing.assert_array_equal(dr, r)
+
+
+@needs_devices
+def test_plane_pipeline_engages_under_mesh():
+    """The sharded plane pipeline (not the legacy fallback) must serve
+    meshed encodes whenever the chunk width divides over the mesh."""
+    import jax.numpy as jnp
+
+    from lac_tpu import device_pipeline as DP
+    from lac_tpu.encoder import FrameEncoder
+    from lac_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8])
+    enc = FrameEncoder(12, 2, 44100, 16, xp=jnp, mesh=mesh)
+    assert DP.chunk_width(100) % 8 == 0
+    assert DP.applicable(enc, 100)
+    # odd mesh sizes that do not divide the chunk width fall back
+    mesh3 = make_mesh(jax.devices()[:3])
+    enc3 = FrameEncoder(12, 2, 44100, 16, xp=jnp, mesh=mesh3)
+    assert not DP.applicable(enc3, 100)
