@@ -87,22 +87,14 @@ def _mode_cost_fields(v, u, k_used, run_len, long_run, run_start, xp):
     return rice_per, bin_per, zr_per
 
 
-_PALLAS_ENV = _os.environ.get("LAC_TPU_PALLAS")
-
-
 def _use_pallas_kcosts():
     """Gridded Pallas k-cost reduction: default ON for the TPU backend
     (measured at parity-or-better vs the 17-pass XLA formulation:
     29.0ms vs 31.1ms min on (1408, 16384); fuses 17 passes into one),
     OFF elsewhere (no Mosaic on CPU). LAC_TPU_PALLAS=0/1 forces."""
-    if _PALLAS_ENV in ("0", "1"):
-        return _PALLAS_ENV == "1"
-    try:
-        import jax
+    from .ops.pallas_kernels import pallas_default
 
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return pallas_default()
 
 
 def _k_costs_stack(u, k_max, xp, count=None):

@@ -23,7 +23,7 @@ for the first sample, then the adapted value).
 import numpy as np
 
 from ..format import constants as C
-from ._backend import bit_width, exact_udiv, shift_right
+from ._backend import bit_width, exact_udiv, is_jax, shift_right
 
 
 def recip_count_table(L):
@@ -64,11 +64,26 @@ def k_after_stateful(u, xp=np, recip_table=None):
     one = xp.uint64(1)
     u = u.astype(xp.uint64)
     L = u.shape[-1]
+    lead = u.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
     # prefix sums via 16-bit-split u32 cumsums (emulated u64 cumsum is
     # ~5x slower on TPU); the u64 reconstruction is one elementwise op.
+    # On TPU the splits + both scans run in one VMEM-resident Pallas
+    # kernel (pallas_kernels.split_cumsums_u32) — bit-identical.
     u32v = u.astype(xp.uint32)
-    cs_hi = xp.cumsum(u32v >> xp.uint32(16), axis=-1)
-    cs_lo = xp.cumsum(u32v & xp.uint32(0xFFFF), axis=-1)
+    use_pk = False
+    if is_jax(xp):
+        from . import pallas_kernels as _pk
+
+        use_pk = (_pk.pallas_available() and _pk.pallas_default()
+                  and _pk.scan_shape_supported(rows, L))
+    if use_pk:
+        cs_hi, cs_lo = _pk.split_cumsums_u32(u32v.reshape(rows, L))
+        cs_hi = cs_hi.reshape(lead + (L,))
+        cs_lo = cs_lo.reshape(lead + (L,))
+    else:
+        cs_hi = xp.cumsum(u32v >> xp.uint32(16), axis=-1)
+        cs_lo = xp.cumsum(u32v & xp.uint32(0xFFFF), axis=-1)
     s = (cs_hi.astype(xp.uint64) << xp.uint64(16)) + cs_lo.astype(xp.uint64)
     idx = xp.arange(L, dtype=xp.int64)
     count = (idx + 1).astype(xp.uint64)
@@ -108,7 +123,10 @@ def k_after_stateful(u, xp=np, recip_table=None):
     # high half with no carry between them.
     q_base = xp.where(k_base >= xp.int32(C.MAX_RICE_K), xp.uint64(0), u >> k_base.astype(xp.uint64))
     packed = (q_base > three).astype(xp.uint32) + ((q_base == xp.uint64(0)).astype(xp.uint32) << xp.uint32(16))
-    cp = xp.cumsum(packed, axis=-1)
+    if use_pk:
+        cp = _pk.cumsum_u32(packed.reshape(rows, L)).reshape(lead + (L,))
+    else:
+        cp = xp.cumsum(packed, axis=-1)
     wp = cp - shift_right(cp, C.MICRO_WINDOW, xp=xp)
     large_cnt = (wp & xp.uint32(0xFFFF)).astype(xp.int32)
     zero_cnt = (wp >> xp.uint32(16)).astype(xp.int32)

@@ -98,3 +98,144 @@ def supported_shape(rows, n):
         and n >= 128
         and _CHUNK_ROWS * n * 4 <= (8 << 20)
     )
+
+
+# ------------------------------------------------------- scan kernels
+# Prefix scans along the sample axis. XLA lowers cumsum on a
+# (rows, 16384) operand as a two-level scan that materializes a
+# (rows, 128, 128) intermediate in HBM; these kernels keep the whole
+# scan in VMEM — log-step lane rotations within 2048-wide column tiles
+# and a per-row carry in scratch across tiles (measured 5.7ms vs 7.7ms
+# XLA per (1408, 16384) dual cumsum, amortized). Integer math is
+# identical (adds in a different association — exact), verified
+# bit-equal in tests/test_pallas.py.
+
+_SCAN_TR, _SCAN_TC = 8, 2048  # full-width rolls blow up the Mosaic compile
+
+
+def _tile_cumsum(x):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    sh = 1
+    while sh < x.shape[-1]:
+        y = pltpu.roll(x, jnp.int32(sh), 1)
+        x = x + jnp.where(col >= sh, y, jnp.zeros_like(x))
+        sh *= 2
+    return x
+
+
+def _split_cumsum_kernel(u_ref, hi_ref, lo_ref, chi_ref, clo_ref):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        chi_ref[...] = jnp.zeros_like(chi_ref)
+        clo_ref[...] = jnp.zeros_like(clo_ref)
+
+    u = u_ref[:]  # int32 bitcast of uint32
+    hi = _tile_cumsum((u >> jnp.int32(16)) & jnp.int32(0xFFFF))
+    lo = _tile_cumsum(u & jnp.int32(0xFFFF))
+    hi_ref[:] = hi + chi_ref[...]
+    lo_ref[:] = lo + clo_ref[...]
+    chi_ref[...] = chi_ref[...] + hi[:, -1:]
+    clo_ref[...] = clo_ref[...] + lo[:, -1:]
+
+
+def _cumsum_kernel(u_ref, o_ref, c_ref):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    c = _tile_cumsum(u_ref[:])
+    o_ref[:] = c + c_ref[...]
+    c_ref[...] = c_ref[...] + c[:, -1:]
+
+
+def scan_shape_supported(rows, n):
+    return rows % _SCAN_TR == 0 and n % _SCAN_TC == 0
+
+
+@functools.lru_cache(maxsize=32)
+def _build_split_cumsum(rows, n):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        _split_cumsum_kernel,
+        grid=(rows // _SCAN_TR, n // _SCAN_TC),
+        in_specs=[pl.BlockSpec((_SCAN_TR, _SCAN_TC), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((_SCAN_TR, _SCAN_TC), lambda i, j: (i, j), memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, n), jnp.int32)] * 2,
+        scratch_shapes=[pltpu.VMEM((_SCAN_TR, 1), jnp.int32)] * 2,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _build_cumsum(rows, n):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        _cumsum_kernel,
+        grid=(rows // _SCAN_TR, n // _SCAN_TC),
+        in_specs=[pl.BlockSpec((_SCAN_TR, _SCAN_TC), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_SCAN_TR, _SCAN_TC), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((_SCAN_TR, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
+    )
+
+
+def split_cumsums_u32(u32_rows):
+    """(rows, n) uint32 -> (cumsum(u >> 16), cumsum(u & 0xFFFF)), both
+    uint32 — the 16-bit-split prefix sums of adapt.k_after_stateful,
+    with the halving done in VMEM (no uhi/ulo HBM materialization)."""
+    import jax
+
+    rows, n = u32_rows.shape
+    as_i32 = jax.lax.bitcast_convert_type(u32_rows, "int32")
+    hi, lo = _build_split_cumsum(rows, n)(as_i32)
+    return (jax.lax.bitcast_convert_type(hi, "uint32"),
+            jax.lax.bitcast_convert_type(lo, "uint32"))
+
+
+def cumsum_u32(u32_rows):
+    """(rows, n) uint32 inclusive prefix sum along the last axis."""
+    import jax
+
+    rows, n = u32_rows.shape
+    as_i32 = jax.lax.bitcast_convert_type(u32_rows, "int32")
+    out = _build_cumsum(rows, n)(as_i32)
+    return jax.lax.bitcast_convert_type(out, "uint32")
+
+
+def pallas_default():
+    """Pallas kernels default ON for the TPU backend, OFF elsewhere
+    (no Mosaic on CPU); LAC_TPU_PALLAS=0/1 forces."""
+    import os
+
+    env = os.environ.get("LAC_TPU_PALLAS")
+    if env in ("0", "1"):
+        return env == "1"
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -61,3 +61,54 @@ def test_k_cost_sums_gridded_matches_reference_math():
     lo = (u & 0xFFFF).astype(np.uint64)
     want = np.stack([hi.sum(-1)] + [(lo >> k).sum(-1) for k in range(16)], axis=-1)
     np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+def test_split_cumsums_kernel_matches_numpy():
+    """Interpret-mode check of the production scan layout: hi/lo split
+    + carry across column tiles."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, n = 2 * pk._SCAN_TR, 3 * pk._SCAN_TC
+    rng = np.random.RandomState(5)
+    u = rng.randint(0, 2**32, (rows, n), dtype=np.uint64).astype(np.uint32)
+
+    call = pl.pallas_call(
+        pk._split_cumsum_kernel,
+        grid=(rows // pk._SCAN_TR, n // pk._SCAN_TC),
+        in_specs=[pl.BlockSpec((pk._SCAN_TR, pk._SCAN_TC), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((pk._SCAN_TR, pk._SCAN_TC), lambda i, j: (i, j), memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, n), jnp.int32)] * 2,
+        scratch_shapes=[pltpu.VMEM((pk._SCAN_TR, 1), jnp.int32)] * 2,
+        interpret=True,
+    )
+    hi, lo = call(jax.lax.bitcast_convert_type(jnp.asarray(u), "int32"))
+    hi = np.asarray(hi).astype(np.uint32)
+    lo = np.asarray(lo).astype(np.uint32)
+    np.testing.assert_array_equal(hi, np.cumsum(u >> 16, -1, dtype=np.uint32))
+    np.testing.assert_array_equal(lo, np.cumsum(u & 0xFFFF, -1, dtype=np.uint32))
+
+
+def test_cumsum_kernel_matches_numpy():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, n = pk._SCAN_TR, 2 * pk._SCAN_TC
+    rng = np.random.RandomState(9)
+    u = rng.randint(0, 2**17, (rows, n)).astype(np.uint32)
+
+    call = pl.pallas_call(
+        pk._cumsum_kernel,
+        grid=(rows // pk._SCAN_TR, n // pk._SCAN_TC),
+        in_specs=[pl.BlockSpec((pk._SCAN_TR, pk._SCAN_TC), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((pk._SCAN_TR, pk._SCAN_TC), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((pk._SCAN_TR, 1), jnp.int32)],
+        interpret=True,
+    )
+    out = np.asarray(call(jax.lax.bitcast_convert_type(jnp.asarray(u), "int32"))).astype(np.uint32)
+    np.testing.assert_array_equal(out, np.cumsum(u, -1, dtype=np.uint32))
