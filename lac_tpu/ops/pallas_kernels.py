@@ -239,3 +239,90 @@ def pallas_default():
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _tile_scan(x, op, roll_dir):
+    """Log-step in-tile scan: op in {max, min-from-right} via masked
+    lane rotations. roll_dir=+1 scans left->right, -1 right->left."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    width = x.shape[-1]
+    sh = 1
+    while sh < width:
+        # rotation is modular: a leftward shift by sh is a rotation by
+        # width - sh (negative rotate amounts SIGABRT the Mosaic
+        # compiler on this toolchain)
+        amount = sh if roll_dir > 0 else width - sh
+        y = pltpu.roll(x, jnp.int32(amount), 1)
+        valid = (col >= sh) if roll_dir > 0 else (col < width - sh)
+        x = jnp.where(valid, op(x, y), x)
+        sh *= 2
+    return x
+
+
+def _prefix_max_kernel(x_ref, o_ref, c_ref):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        c_ref[...] = jnp.full_like(c_ref, jnp.iinfo(jnp.int32).min)
+
+    s = _tile_scan(x_ref[:], jnp.maximum, 1)
+    o_ref[:] = jnp.maximum(s, c_ref[...])
+    c_ref[...] = jnp.maximum(c_ref[...], s[:, -1:])
+
+
+def _suffix_min_kernel(x_ref, o_ref, c_ref):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        c_ref[...] = jnp.full_like(c_ref, jnp.iinfo(jnp.int32).max)
+
+    s = _tile_scan(x_ref[:], jnp.minimum, -1)
+    o_ref[:] = jnp.minimum(s, c_ref[...])
+    c_ref[...] = jnp.minimum(c_ref[...], s[:, :1])
+
+
+@functools.lru_cache(maxsize=32)
+def _build_scan(rows, n, which):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ncols = n // _SCAN_TC
+    if which == "pmax":
+        kernel, cmap = _prefix_max_kernel, (lambda i, j: (i, j))
+    else:  # suffix min walks the column tiles right-to-left
+        kernel, cmap = _suffix_min_kernel, (lambda i, j: (i, jnp.int32(ncols - 1) - j))
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // _SCAN_TR, ncols),
+        in_specs=[pl.BlockSpec((_SCAN_TR, _SCAN_TC), cmap, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_SCAN_TR, _SCAN_TC), cmap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((_SCAN_TR, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
+    )
+
+
+def prefix_max_i32(x_rows):
+    """(rows, n) int32 running maximum along the last axis."""
+    rows, n = x_rows.shape
+    return _build_scan(rows, n, "pmax")(x_rows)
+
+
+def suffix_min_i32(x_rows):
+    """(rows, n) int32 running minimum from the right."""
+    rows, n = x_rows.shape
+    return _build_scan(rows, n, "smin")(x_rows)

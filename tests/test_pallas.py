@@ -112,3 +112,34 @@ def test_cumsum_kernel_matches_numpy():
     )
     out = np.asarray(call(jax.lax.bitcast_convert_type(jnp.asarray(u), "int32"))).astype(np.uint32)
     np.testing.assert_array_equal(out, np.cumsum(u, -1, dtype=np.uint32))
+
+
+@pytest.mark.parametrize("which", ["pmax", "smin"])
+def test_break_scan_kernels_match_numpy(which):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, n = 2 * pk._SCAN_TR, 3 * pk._SCAN_TC
+    rng = np.random.RandomState(13)
+    x = rng.randint(-(10**6), 10**6, (rows, n)).astype(np.int32)
+
+    ncols = n // pk._SCAN_TC
+    if which == "pmax":
+        kernel, cmap = pk._prefix_max_kernel, (lambda i, j: (i, j))
+        want = np.maximum.accumulate(x, axis=-1)
+    else:
+        kernel = pk._suffix_min_kernel
+        cmap = lambda i, j: (i, jnp.int32(ncols - 1) - j)
+        want = np.flip(np.minimum.accumulate(np.flip(x, -1), -1), -1)
+    call = pl.pallas_call(
+        kernel,
+        grid=(rows // pk._SCAN_TR, ncols),
+        in_specs=[pl.BlockSpec((pk._SCAN_TR, pk._SCAN_TC), cmap, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((pk._SCAN_TR, pk._SCAN_TC), cmap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((pk._SCAN_TR, 1), jnp.int32)],
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(call(jnp.asarray(x))), want)
