@@ -1,8 +1,14 @@
 """Benchmark: batched .lac encode throughput vs the reference encoder.
 
-Prints ONE JSON line:
+Prints a headline JSON line IMMEDIATELY after the core measurement:
     {"metric": "encode_throughput", "value": <frames/s>, "unit": "frames/s",
      "vs_baseline": <ours / reference-CPU>}
+then (wall-clock budget permitting, env LAC_BENCH_BUDGET_S, default 540)
+runs decode and long-file extras and prints ONE enriched final line with
+the same keys plus decode_*/long_* fields.  The driver's record therefore
+always contains a parseable line with the headline metric, whether it
+reads the first JSON line or the last, and whether or not the extras had
+time to run.
 
 The corpus is deterministic music-like stereo audio (sum of gliding
 sines + filtered noise, 44.1 kHz / 16-bit). The reference baseline is
@@ -31,6 +37,13 @@ SECONDS = 30
 SR = 44100
 FRAMES = SR * SECONDS
 
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("LAC_BENCH_BUDGET_S", "540"))
+
+
+def remaining():
+    return BUDGET_S - (time.monotonic() - T0)
+
 
 def make_corpus():
     rng = np.random.RandomState(0xC0DEC)
@@ -50,7 +63,7 @@ def make_corpus():
     return left, right
 
 
-def bench_ours(left, right, repeats=6):
+def bench_ours(left, right, repeats=6, stage_budget_frac=0.72):
     from lac_tpu.encoder import FrameEncoder
 
     try:
@@ -68,7 +81,7 @@ def bench_ours(left, right, repeats=6):
         lp[:: FRAMES // 97] = np.clip(lp[:: FRAMES // 97] + i + 1, -32768, 32767)
         return lp
 
-    enc.encode(left, right)  # warmup (compilation)
+    enc.encode(left, right)  # warmup (compilation / executable load)
     enc.encode(variant(100), right)  # warm content-dependent executables
     best = float("inf")
     for i in range(repeats):
@@ -76,8 +89,12 @@ def bench_ours(left, right, repeats=6):
         t0 = time.perf_counter()
         enc.encode(lp, right)
         best = min(best, time.perf_counter() - t0)
+        # best-of-N rides out tunnel variance, but never at the cost of
+        # the headline line landing inside the driver's budget
+        if i >= 1 and remaining() < (1 - stage_budget_frac) * BUDGET_S:
+            break
     bitstream = enc.encode(left, right)  # parity-gated stream
-    return bitstream, FRAMES / best
+    return enc, bitstream, FRAMES / best
 
 
 def bench_reference(left, right):
@@ -114,31 +131,28 @@ def make_long(seed=52):
     return left, right
 
 
-def bench_long():
+def bench_long(enc, reserve_s=60.0):
     """-> (ours frames/s, reference frames/s or None, parity ok or None).
 
-    One warm pass (per-process executable loads), then two fresh-content
-    timed passes; reference timed once on the same content.
+    One warm pass (long-shape executable loads), then up to three
+    fresh-content timed passes, stopping early when the wall-clock budget
+    runs low; the reference is timed once on the same content only if
+    `reserve_s` of budget is still available for it.
     """
-    from lac_tpu.encoder import FrameEncoder
-
-    try:
-        import jax.numpy as jnp
-
-        xp = jnp
-    except Exception:
-        xp = np
-    enc = FrameEncoder(12, 2, SR, 16, xp=xp)
     left, right = make_long(51)
     enc.encode(left, right)  # warm: compiles/loads excluded from timing
     best = float("inf")
+    bs = None
     for seed in (52, 53, 54):
         left, right = make_long(seed)
         t0 = time.perf_counter()
         bs = enc.encode(left, right)
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        if remaining() < reserve_s + dt + 15:
+            break
     ours_fps = LONG_FRAMES / best
-    if not REF.exists():
+    if not REF.exists() or remaining() < reserve_s:
         return ours_fps, None, None
     from lac_tpu.io import write_wav
 
@@ -183,24 +197,23 @@ def bench_decode(bitstream):
     return ours, FRAMES / rbest
 
 
+def emit(result):
+    print(json.dumps(result), flush=True)
+
+
 def main():
     left, right = make_corpus()
-    bitstream, ours_fps = bench_ours(left, right)
     ref_bytes, ref_fps = bench_reference(left, right)
     if ref_fps is None:
         try:
             ref_fps = json.loads(BASELINE_FILE.read_text())["reference_frames_per_s"]
         except Exception:
             ref_fps = None
-    else:
-        if ref_bytes != bitstream:
-            print(
-                json.dumps(
-                    {"metric": "encode_throughput", "value": 0.0, "unit": "frames/s",
-                     "vs_baseline": 0.0, "error": "bitstream parity FAILED"}
-                )
-            )
-            return 1
+    enc, bitstream, ours_fps = bench_ours(left, right)
+    if ref_bytes is not None and ref_bytes != bitstream:
+        emit({"metric": "encode_throughput", "value": 0.0, "unit": "frames/s",
+              "vs_baseline": 0.0, "error": "bitstream parity FAILED"})
+        return 1
     vs = (ours_fps / ref_fps) if ref_fps else None
     result = {
         "metric": "encode_throughput",
@@ -208,12 +221,19 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs, 3) if vs else None,
     }
-    dec_fps, dec_ref = bench_decode(bitstream)
-    result["decode_value"] = round(dec_fps, 1)
-    if dec_ref:
-        result["decode_vs_baseline"] = round(dec_fps / dec_ref, 3)
-    if os.environ.get("LAC_BENCH_SKIP_LONG") != "1":
-        long_fps, long_ref, long_parity = bench_long()
+    emit(result)  # HEADLINE: lands before any optional extras
+
+    enriched = False
+    if remaining() > 45 and os.environ.get("LAC_BENCH_SKIP_DECODE") != "1":
+        dec_fps, dec_ref = bench_decode(bitstream)
+        result["decode_value"] = round(dec_fps, 1)
+        if dec_ref:
+            result["decode_vs_baseline"] = round(dec_fps / dec_ref, 3)
+        enriched = True
+    if os.environ.get("LAC_BENCH_SKIP_LONG") == "1":
+        result["long_skipped"] = "env"
+    elif remaining() > 150:
+        long_fps, long_ref, long_parity = bench_long(enc)
         result["long_frames"] = LONG_FRAMES
         result["long_value"] = round(long_fps, 1)
         if long_ref:
@@ -221,7 +241,11 @@ def main():
         if long_parity is False:
             result["error"] = "long-file bitstream parity FAILED"
             result["vs_baseline"] = 0.0
-    print(json.dumps(result))
+        enriched = True
+    else:
+        result["long_skipped"] = "budget"
+    if enriched:
+        emit(result)  # final enriched line (superset of the headline keys)
     return 0
 
 

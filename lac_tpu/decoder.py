@@ -417,10 +417,38 @@ class FrameDecoder:
 
         if not has_sizes:
             # v2 legacy: serial in-order decode over one reader
-            for i in range(block_count):
-                decode_block(i, br)
-            if br.bits_remaining() != 0:
-                raise DecodeError("[decode-error] trailing frame payload")
+            # (lac/decoder.cpp:209-218 — no payload-size table, so blocks
+            # are not byte-bounded and cannot be decoded in parallel)
+            native_done = False
+            if self.use_native and self.backend != "device":
+                from .runtime.native import decode_v2_stream_native
+
+                # the table parse reads whole bytes from a byte-aligned
+                # start, so br sits on a byte boundary here
+                pos = len(payload) - br.bits_remaining() // 8
+                try:
+                    res = decode_v2_stream_native(
+                        payload[pos:], block_sizes, offsets[:-1],
+                        hdr.channels, hdr.stereo_mode, hdr.bit_depth,
+                        total_samples,
+                    )
+                except ValueError as e:
+                    if str(e) == "trailing":
+                        raise DecodeError("[decode-error] trailing frame payload")
+                    # re-decode serially in Python for the detailed
+                    # canonical error message
+                    for i in range(block_count):
+                        decode_block(i, br)
+                    bad = int(str(e).split("=")[1])
+                    raise DecodeError(f"[decode-error] block={bad} channel=primary")
+                if res is not None:
+                    left, right = res
+                    native_done = True
+            if not native_done:
+                for i in range(block_count):
+                    decode_block(i, br)
+                if br.bits_remaining() != 0:
+                    raise DecodeError("[decode-error] trailing frame payload")
         else:
             if br.bits_remaining() % 8 != 0:
                 raise DecodeError("[decode-error] unaligned compressed block payload")

@@ -843,11 +843,13 @@ class ChannelBlockEncoder:
         """
         sel = meta[:, 0].astype(np.int32)
         best_p = meta[:, 1].astype(np.int32)
-        if meta[0, 2] == 0:
+        if np.any(meta[:, 2] == 0):
             # open-loop int32 overflow: impossible for validated PCM input;
-            # if it ever fires, the affected lanes take the host ladder path.
-            raise NotImplementedError(
-                "LPC residual overflow fallback ladder hit — input outside validated PCM domain"
+            # `_payloads` routes such lanes through the host ladder path, so
+            # reaching `_emit` with any overflow lane is a caller bug.
+            raise ValueError(
+                "LPC residual overflow lane reached _emit — such lanes must "
+                "take the host fallback-ladder path (see _payloads)"
             )
         max_p0 = (
             max_partition_order_for_block(n)

@@ -82,6 +82,12 @@ def get_native():
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
             i32p, i32p, ctypes.c_int32,
         ]
+        lib.lac_decode_v2_stream.restype = ctypes.c_int
+        lib.lac_decode_v2_stream.argtypes = [
+            u8p, ctypes.c_uint64, u32p, u64p,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            i32p, i32p,
+        ]
         lib.lac_pack_bits.restype = ctypes.c_uint64
         lib.lac_pack_bits.argtypes = [u64p, u8p, ctypes.c_uint64]
         lib.lac_pack_stream.restype = ctypes.c_uint64
@@ -405,6 +411,36 @@ def decode_v3_blocks_native(payload, payload_offsets, payload_sizes, block_sizes
         _ptr(right, ctypes.c_int32) if channels == 2 else _ptr(left, ctypes.c_int32),
         num_threads,
     )
+    if status != 0:
+        raise ValueError(f"block={-status - 1}")
+    return left, right
+
+
+def decode_v2_stream_native(payload, block_sizes, sample_offsets, channels,
+                            stereo_mode, bit_depth, total_samples):
+    """Native serial v2 legacy-stream decode (lac/decoder.cpp:209-218).
+
+    Returns (left, right) int32 arrays, raises ValueError with
+    ``block=<i>`` on a bad block or ``trailing`` on leftover payload, or
+    returns None when the native library is unavailable.
+    """
+    lib = get_native()
+    if lib is None:
+        return None
+    payload = np.frombuffer(payload, dtype=np.uint8)
+    bs = np.ascontiguousarray(block_sizes, dtype=np.uint32)
+    so = np.ascontiguousarray(sample_offsets, dtype=np.uint64)
+    left = np.zeros(total_samples, dtype=np.int32)
+    right = np.zeros(total_samples if channels == 2 else 0, dtype=np.int32)
+    status = lib.lac_decode_v2_stream(
+        _ptr(payload, ctypes.c_uint8), len(payload),
+        _ptr(bs, ctypes.c_uint32), _ptr(so, ctypes.c_uint64),
+        len(bs), channels, stereo_mode, bit_depth,
+        _ptr(left, ctypes.c_int32),
+        _ptr(right, ctypes.c_int32) if channels == 2 else _ptr(left, ctypes.c_int32),
+    )
+    if status > 0:
+        raise ValueError("trailing")
     if status != 0:
         raise ValueError(f"block={-status - 1}")
     return left, right

@@ -522,6 +522,28 @@ inline bool pcm_in_range(const int32_t* x, uint32_t n, uint32_t depth) {
   return true;
 }
 
+// post-decode finishing shared by the v3 parallel and v2 serial paths:
+// PCM range validation, and in-place mid/side reconstruction
+// (l = m + ((s + (s&1)) >> 1); r = l - s, reference lac/decoder.cpp:48-65)
+inline bool finish_block_pcm(bool is_stereo, bool mid_side, uint32_t bit_depth,
+                             int32_t* lp, int32_t* rp, uint32_t n) {
+  if (!is_stereo) return pcm_in_range(lp, n, bit_depth);
+  if (mid_side) {
+    const int64_t lo = bit_depth == 16 ? -32768 : -0x800000;
+    const int64_t hi = bit_depth == 16 ? 32767 : 0x7FFFFF;
+    for (uint32_t i = 0; i < n; ++i) {
+      const int64_t m = lp[i], s = rp[i];
+      const int64_t l = m + ((s + (s & 1)) >> 1);
+      const int64_t rr = l - s;
+      if (l < lo || l > hi || rr < lo || rr > hi) return false;
+      lp[i] = static_cast<int32_t>(l);
+      rp[i] = static_cast<int32_t>(rr);
+    }
+    return true;
+  }
+  return pcm_in_range(lp, n, bit_depth) && pcm_in_range(rp, n, bit_depth);
+}
+
 }  // namespace
 
 // ==================================================================== C API
@@ -595,27 +617,7 @@ int lac_decode_v3_blocks(const uint8_t* payload,
       bool ok = decode_channel_block(r, n, lp);
       if (ok && is_stereo) ok = decode_channel_block(r, n, rp);
       if (ok && bits_remaining(r) != 0) ok = false;
-      if (ok) {
-        if (!is_stereo) {
-          ok = pcm_in_range(lp, n, bit_depth);
-        } else if (mid_side) {
-          for (uint32_t i = 0; ok && i < n; ++i) {
-            const int64_t m = lp[i], s = rp[i];
-            const int64_t l = m + ((s + (s & 1)) >> 1);
-            const int64_t rr = l - s;
-            const int64_t lo = bit_depth == 16 ? -32768 : -0x800000;
-            const int64_t hi = bit_depth == 16 ? 32767 : 0x7FFFFF;
-            if (l < lo || l > hi || rr < lo || rr > hi) {
-              ok = false;
-              break;
-            }
-            lp[i] = static_cast<int32_t>(l);
-            rp[i] = static_cast<int32_t>(rr);
-          }
-        } else {
-          ok = pcm_in_range(lp, n, bit_depth) && pcm_in_range(rp, n, bit_depth);
-        }
-      }
+      if (ok) ok = finish_block_pcm(is_stereo, mid_side, bit_depth, lp, rp, n);
       if (!ok) {
         int expect = 0;
         status.compare_exchange_strong(expect, -static_cast<int>(bi) - 1);
@@ -637,6 +639,44 @@ int lac_decode_v3_blocks(const uint8_t* payload,
     for (auto& t : pool) t.join();
   }
   return status.load();
+}
+
+// decode a v2 legacy stream: blocks are NOT byte-bounded (no payload-size
+// table, reference format.md:40-47), so decode is serial in-order over one
+// reader, exactly like the reference library path (lac/decoder.cpp:209-218).
+// returns 0 on success, -(block_index+1) for the first failing block, or
+// +1 when trailing payload bits remain after the final block.
+int lac_decode_v2_stream(const uint8_t* payload,
+                         uint64_t payload_bytes,
+                         const uint32_t* block_sizes,
+                         const uint64_t* sample_offsets,
+                         uint32_t block_count,
+                         uint32_t channels,
+                         uint32_t stereo_mode,  // 0 LR, 1 MS, 2 per-block
+                         uint32_t bit_depth,
+                         int32_t* out_left,
+                         int32_t* out_right) {
+  const bool is_stereo = channels == 2;
+  const bool per_block = is_stereo && stereo_mode == 2;
+  const bool force_ms = is_stereo && stereo_mode == 1;
+  Reader r;
+  reader_init(r, payload, payload_bytes);
+  for (uint32_t bi = 0; bi < block_count; ++bi) {
+    bool mid_side = force_ms;
+    if (per_block) {
+      const uint32_t flag = static_cast<uint32_t>(read_bits(r, 8));
+      if (r.err || flag > 1) return -static_cast<int>(bi) - 1;
+      mid_side = flag == 1;
+    }
+    const uint32_t n = block_sizes[bi];
+    int32_t* lp = out_left + sample_offsets[bi];
+    int32_t* rp = is_stereo ? out_right + sample_offsets[bi] : nullptr;
+    bool ok = decode_channel_block(r, n, lp);
+    if (ok && is_stereo) ok = decode_channel_block(r, n, rp);
+    if (ok) ok = finish_block_pcm(is_stereo, mid_side, bit_depth, lp, rp, n);
+    if (!ok) return -static_cast<int>(bi) - 1;
+  }
+  return bits_remaining(r) != 0 ? 1 : 0;
 }
 
 // total bit length of an element stream (unary ones + field bits each)

@@ -373,3 +373,28 @@ class TestFrameRejection:
         np.testing.assert_array_equal(left, sig)
         assert hdr.version == 2
         self._expect_reject(bytes(v2) + b"\x00")
+
+    def test_v2_multiblock_stereo_native_matches_python(self):
+        # multi-block stereo with per-block flags exercises the native
+        # serial v2 path's sample offsets (lac_decode_v2_stream)
+        n = 16384 * 2 + 600
+        l = lcg_noise(n, 3000, 11)
+        r = np.roll(l, 3)
+        bs = FrameEncoder(12, 2, 44100, 16).encode(l, r)
+        bc = int.from_bytes(bs[10:14], "big")
+        assert bc == 3
+        sizes = [int.from_bytes(bs[14 + 8 * i : 18 + 8 * i], "big") for i in range(bc)]
+        payload = bs[14 + 8 * bc :]
+        v2 = bytearray(bs[:10])
+        v2[2] = 2
+        v2 += bc.to_bytes(4, "big")
+        for sz in sizes:
+            v2 += sz.to_bytes(4, "big")
+        v2 += payload
+        dl, dr, hdr = FrameDecoder().decode(bytes(v2))
+        pl, pr, _ = FrameDecoder(backend="python").decode(bytes(v2))
+        np.testing.assert_array_equal(dl, l)
+        np.testing.assert_array_equal(dr, r)
+        np.testing.assert_array_equal(pl, l)
+        np.testing.assert_array_equal(pr, r)
+        assert hdr.version == 2
