@@ -52,6 +52,21 @@ CHUNK_BLOCKS = int(os.environ.get("LAC_TPU_CHUNK_BLOCKS", "0"))  # 0 = ladder
 CHUNK_LADDER = (128, 256)
 MIN_FULL_BLOCKS = 8
 
+# process warmth: loading the cached device executables costs many
+# seconds per process (compiles are persistently cached, loads are not).
+# The first device encode pays it; FrameEncoder routes short inputs in a
+# still-cold process to the native host planner instead (one-shot CLI).
+_PROC_WARM = False
+
+
+def mark_warm():
+    global _PROC_WARM
+    _PROC_WARM = True
+
+
+def process_warm():
+    return _PROC_WARM
+
 
 def chunk_width(nfull):
     if CHUNK_BLOCKS:
@@ -559,4 +574,6 @@ def encode_full_blocks(frame_enc, left, right, nfull, kind):
     """Encode the leading ``nfull`` full-size blocks via device-resident
     planes. Returns (payloads: {block: {slot: bytes}}, flags: {block:
     0|1}, uncertain: {block: bool}) — flags/uncertain only for auto."""
-    return PlanePipeline(frame_enc, left, right, nfull, kind).run()
+    out = PlanePipeline(frame_enc, left, right, nfull, kind).run()
+    mark_warm()  # device executables are now loaded in this process
+    return out

@@ -38,6 +38,40 @@ from .ops._backend import is_jax, shift_right
 from .utils import debug as _dbg
 
 
+def _cold_route(nblocks):
+    """True when a cold process should encode a short input on the native
+    host path instead of initializing the accelerator (one-shot CLI
+    contract, reference main.cpp:600-709: millisecond-class startup).
+
+    Applies only when (a) the resolved JAX backend is an accelerator —
+    CPU-JAX processes (the test suite) have no executable-load problem,
+    (b) the process has not already paid the load (device_pipeline
+    warmth), (c) the input is at most LAC_TPU_COLD_BLOCKS blocks
+    (default 256 ~= 95 s of 44.1 kHz audio; 0 disables routing), and
+    (d) the native runtime is available to plan at C++ speed.
+    """
+    try:
+        thr = int(_os.environ.get("LAC_TPU_COLD_BLOCKS", "256"))
+    except ValueError:
+        thr = 256
+    if thr <= 0 or nblocks > thr:
+        return False
+    from . import device_pipeline as _dp
+    from .runtime.native import native_available
+
+    if _dp.process_warm() or not native_available():
+        return False
+    platforms = _os.environ.get("JAX_PLATFORMS", "")
+    if platforms:
+        return "cpu" not in platforms.split(",")
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def _repeat_cols(a, sizes_np, n, xp):
     """Repeat columns of (B, S) by static per-column counts -> (B, n)."""
     if is_jax(xp):
@@ -163,13 +197,12 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     valid = xp.concatenate([xp.ones((B, _LPC_BASE), dtype=bool), (lpc_valid & lpc_in_range).T], axis=1)
 
     # ---- whole-block stateful scoring per candidate
-    recip_table = adapt.recip_count_table(n)  # baked constant, no div ops
     u = zigzag_encode(residuals).astype(xp.uint64)
     scan = min(C.INITIAL_SCAN_COUNT, n)
     head_costs = _k_costs_stack(u[..., :scan], C.INITIAL_MAX_K, xp)
     initial_k = xp.argmin(head_costs, axis=-1).astype(xp.int32)
 
-    k_after = adapt.k_after_stateful(u, xp=xp, recip_table=recip_table)
+    k_after = adapt.k_after_stateful(u, xp=xp)
     k_used = adapt.k_used_from_after(k_after, initial_k, xp=xp)
 
     z = residuals == 0
@@ -281,7 +314,6 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
         head_sizes = np.minimum(sizes_np, C.INITIAL_SCAN_COUNT)
         pos_np = np.concatenate([np.arange(sz, dtype=np.int64) for sz in sizes_np])
         seg_end_np = np.repeat(ends_1d, sizes_np)
-        recip_pos = recip_table[pos_np]  # baked constant
 
         def rep(a):
             return _repeat_cols(a, sizes_np, n, xp)
@@ -294,7 +326,7 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
         seg_hi = (csz_hi[:, 1:] - rep(csz_hi[:, starts_1d])).astype(xp.uint64)
         seg_lo = (csz_lo[:, 1:] - rep(csz_lo[:, starts_1d])).astype(xp.uint64)
         seg_sum = (seg_hi << xp.uint64(16)) + seg_lo
-        k_after_sl = adapt.k_after_stateless(seg_sum, pos_np, xp=xp, recip=recip_pos)
+        k_after_sl = adapt.k_after_stateless(seg_sum, pos_np, xp=xp)
         k_used_p = xp.where(pos_np == 0, rep(init_k_seg), shift_right(k_after_sl, 1, xp=xp)).astype(xp.int32)
 
         rl_p, long_p, start_p = runs.run_geometry(zw0, last_nz, next_nz, pos_np, seg_end_np, xp=xp)
@@ -618,6 +650,9 @@ class _GroupJob:
             # modest transfers than on one deep deferred flush
             with _dbg.phase("autocorr_fetch"):
                 self.R_np = np.asarray(_jitted_autocorr(12)(self.pcm_dev))[: self.B]
+        from . import device_pipeline as _dp
+
+        _dp.mark_warm()  # this process now owns loaded device executables
 
     def dispatch_plan(self):
         from .runtime.native import native_available
@@ -1054,7 +1089,16 @@ class FrameEncoder:
         nfull = nblocks - (1 if sizes[-1] != C.MAX_BLOCK_SIZE else 0)
         from . import device_pipeline as _dp
 
-        if nfull >= 1 and _dp.applicable(self, nfull):
+        # one-shot cold-start routing: in a process that has not yet
+        # loaded the device executables, short inputs take the native
+        # host planner — executable loading costs many seconds, which a
+        # one-shot CLI encode of a short file can never amortize. The
+        # first long encode (or LAC_TPU_COLD_BLOCKS=0) warms the process
+        # and every later encode uses the device path regardless of size.
+        if is_jax(xp) and _cold_route(nblocks):
+            xp = np
+
+        if nfull >= 1 and is_jax(xp) and _dp.applicable(self, nfull):
             kind = (
                 "mono" if not is_stereo
                 else ("ms" if force_ms else ("auto" if per_block else "lr"))

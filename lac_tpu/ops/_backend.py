@@ -73,31 +73,6 @@ def bit_width(m, xp=np, max_bits=33):
     return np.where(m == 0, 0, e).astype(np.int32)
 
 
-def exact_udiv(num, den, xp=np, recip=None):
-    """Exact floor(num / den) for unsigned num < 2^53, den >= 1.
-
-    Integer (and even float) division ops are extremely expensive for
-    the TPU compiler, so the quotient is estimated by multiplication
-    with a float64 reciprocal and corrected by one exact integer step:
-    the estimate is within +-1 of the true floor (operands convert
-    exactly for < 2^53; combined relative error < 2^-51). Every codec
-    division qualifies: numerators are <= 2^46 (prefix sums of 32-bit
-    zigzag values over <= 16384 samples).
-
-    ``recip``: optional precomputed float64 reciprocal of ``den`` (e.g.
-    a baked 1/count table) — avoids emitting any division op at all.
-    """
-    num64 = num.astype(xp.int64)
-    den64 = den.astype(xp.int64)
-    if recip is None:
-        q0 = (num.astype(xp.float64) / den.astype(xp.float64)).astype(xp.int64)
-    else:
-        q0 = (num.astype(xp.float64) * recip).astype(xp.int64)
-    r = num64 - q0 * den64
-    q = q0 + (r >= den64).astype(xp.int64) - (r < 0).astype(xp.int64)
-    return q.astype(xp.uint64)
-
-
 def segment_sum(values, seg_id, num_segments, xp=np, axis=-1):
     """Sum ``values`` per segment id along the last axis.
 

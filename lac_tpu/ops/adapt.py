@@ -23,40 +23,67 @@ for the first sample, then the adapted value).
 import numpy as np
 
 from ..format import constants as C
-from ._backend import bit_width, exact_udiv, is_jax, shift_right
+from ._backend import bit_width, is_jax, shift_right
 
 
-def recip_count_table(L):
-    """Baked float64 table recip[i] = 1/(i+1) — lets every adaptation
-    division compile as a multiply (see _backend.exact_udiv)."""
-    return 1.0 / np.arange(1, L + 1, dtype=np.float64)
+def _k_base_divfree(N, c, bwc, xp):
+    """``min(31, bit_width(mean - 1))`` for ``mean = floor(N/c) >= 2``
+    WITHOUT computing the mean (integer/float division is extremely
+    expensive on TPU — f64 is emulated).
+
+    ``bit_width(mean-1) <= t  <=>  mean <= 2^t  <=>  N < c*(2^t + 1)
+    <=> (N - c) >> t < c``.  With ``M = N - c``, ``b1 = bit_width(M)``
+    and ``b2 = bit_width(c)``: ``c*2^(b1-b2+1) >= 2^b1 > M`` and
+    ``c*2^(b1-b2-1) < 2^(b1-1) <= M``, so the smallest such ``t`` is
+    ``k0 = b1 - b2`` or ``k0 + 1``, resolved by one comparison.
+
+    Callers gate the ``mean <= 1`` region (``N < 2c``) to 0 themselves;
+    there ``M`` is clamped to 1 and the result is discarded.
+
+    ``bwc``: precomputed ``bit_width(c)`` (baked constant when ``c`` is
+    a static position vector).
+    """
+    M = xp.maximum(N.astype(xp.int64) - c.astype(xp.int64), xp.int64(1)).astype(xp.uint64)
+    k0 = xp.maximum(bit_width(M, xp=xp) - bwc, xp.int32(0))
+    q0 = M >> k0.astype(xp.uint64)
+    return xp.minimum(xp.int32(C.MAX_RICE_K), k0 + (q0 >= c).astype(xp.int32))
 
 
-def k_after_stateless(seg_sum, pos_in_seg, xp=np, recip_table=None, recip=None):
-    """Stateless adapted k after each sample (block/encoder.cpp:72-77).
+def _floordiv3(x, xp):
+    """Exact ``floor(x/3)`` for uint64 ``x < 2^35``, division-free.
+
+    ``x = xh*2^16 + xl`` and ``2^16 = 3*21845 + 1`` give ``floor(x/3) =
+    xh*21845 + floor((xh+xl)/3)``; the inner ``y = xh+xl`` is ``< 2^20``
+    and ``(y*699051) >> 21`` is exact there (``699051 = (2^21+1)/3``, so
+    the estimate exceeds ``y/3`` by ``y/(3*2^21) < 1/6``, which never
+    crosses a floor boundary since ``frac(y/3) <= 2/3``).
+    """
+    xh = x >> xp.uint64(16)
+    y = xh + (x & xp.uint64(0xFFFF))
+    return xh * xp.uint64(21845) + ((y * xp.uint64(699051)) >> xp.uint64(21))
+
+
+def k_after_stateless(seg_sum, pos_in_seg, xp=np):
+    """Stateless adapted k after each sample (block/encoder.cpp:72-77),
+    division-free (see :func:`_k_base_divfree`).
 
     ``seg_sum``: segment-local inclusive prefix sum of u (uint64).
     ``pos_in_seg``: 0-based position within the segment (int64; may be a
     baked numpy constant for static partition geometry).
-    ``recip_table``: optional (L,) float64 1/(i+1) table (gathered at
-    pos); ``recip``: optional precomputed per-sample reciprocal (beats
-    the gather when the geometry is static).
     """
     if isinstance(pos_in_seg, np.ndarray) or isinstance(pos_in_seg, int):
-        count_np = np.asarray(pos_in_seg, dtype=np.int64) + 1
-        count = xp.asarray(count_np.astype(np.uint64))
-        if recip is None and recip_table is not None and isinstance(recip_table, np.ndarray):
-            recip = recip_table[np.asarray(pos_in_seg)]
+        count_np = np.asarray(pos_in_seg, dtype=np.int64).astype(np.uint64) + np.uint64(1)
+        count = xp.asarray(count_np)
+        bwc = xp.asarray(bit_width(count_np, xp=np))
     else:
         count = (pos_in_seg + 1).astype(xp.uint64)
-        if recip is None and recip_table is not None:
-            recip = xp.asarray(recip_table)[pos_in_seg]
-    mean = exact_udiv(seg_sum + (count >> xp.uint64(1)), count, xp=xp, recip=recip)
-    k = xp.minimum(xp.int32(C.MAX_RICE_K), bit_width(mean - xp.uint64(1), xp=xp))
-    return xp.where(mean <= xp.uint64(1), xp.int32(0), k)
+        bwc = bit_width(count, xp=xp)
+    N = seg_sum.astype(xp.uint64) + (count >> xp.uint64(1))
+    k = _k_base_divfree(N, count, bwc, xp)
+    return xp.where(N < (count << xp.uint64(1)), xp.int32(0), k)
 
 
-def k_after_stateful(u, xp=np, recip_table=None):
+def k_after_stateful(u, xp=np):
     """Stateful adapted k after each sample of a whole block (rice.hpp:45-114).
 
     ``u``: (..., L) uint64 unsigned residuals. Returns int32 (..., L).
@@ -87,42 +114,45 @@ def k_after_stateful(u, xp=np, recip_table=None):
     s = (cs_hi.astype(xp.uint64) << xp.uint64(16)) + cs_lo.astype(xp.uint64)
     idx = xp.arange(L, dtype=xp.int64)
     count = (idx + 1).astype(xp.uint64)
-    if recip_table is None:
-        recip_count = recip_filled = None
-    else:
-        recip_count = xp.asarray(recip_table)
-        lim = np.float64(1.0 / C.DRIFT_WINDOW)
-        recip_filled = xp.where(idx < C.DRIFT_WINDOW, recip_count, lim)
+    bwc_np = bit_width((np.arange(L, dtype=np.int64) + 1).astype(np.uint64), xp=np)
+    bwc = xp.asarray(bwc_np)  # baked constant: bit_width(count)
 
-    mean = exact_udiv(s + (count >> one), count, xp=xp, recip=recip_count)
+    N = s + (count >> one)
     k_base = xp.where(
-        mean <= one,
+        N < (count << one),  # mean <= 1
         xp.int32(0),
-        xp.minimum(xp.int32(C.MAX_RICE_K), bit_width(mean - one, xp=xp)),
+        _k_base_divfree(N, count, bwc, xp),
     )
 
-    # drift window: sum of the last min(i+1, 256) values
+    # drift-window bias, division-free. Two regimes:
+    #  - count <= 256: the window holds the whole prefix with the same
+    #    rounding, so local_mean == mean and both ratio tests are
+    #    identically false -> drift bias 0.
+    #  - count > 256: filled == 256, lm = (window_sum + 128) >> 8, and
+    #    the two floored-mean comparisons flip into threshold tests on N:
+    #      3*lm > 4*mean   <=>  mean <= (3*lm - 1) >> 2  (lm >= 1)
+    #                      <=>  N < c * (((3*lm - 1) >> 2) + 1)
+    #      4*lm+3 < 3*mean <=>  mean >= floor((4*lm + 3)/3) + 1
+    #                      <=>  N >= c * (floor((4*lm + 3)/3) + 1)
     window_sum = s - shift_right(s, C.DRIFT_WINDOW, xp=xp)
-    filled = xp.minimum(count, xp.uint64(C.DRIFT_WINDOW))
-    local_mean = xp.where(
-        filled == xp.uint64(C.DRIFT_WINDOW),
-        (window_sum + xp.uint64(C.DRIFT_WINDOW >> 1)) >> xp.uint64(8),
-        exact_udiv(window_sum + (filled >> one), filled, xp=xp, recip=recip_filled),
-    )
-    three, four = xp.uint64(3), xp.uint64(4)
+    lm = (window_sum + xp.uint64(C.DRIFT_WINDOW >> 1)) >> xp.uint64(8)
+    t1 = ((xp.uint64(3) * lm - one) >> xp.uint64(2)) + one  # wraps at lm=0; gated below
+    cond_up = (lm >= one) & (N < count * t1)
+    t2 = _floordiv3(xp.uint64(4) * lm + xp.uint64(3), xp) + one
+    cond_down = N >= count * t2
+    drift_on = (idx >= xp.int64(C.DRIFT_WINDOW)) & (N >= count)  # full window & mean > 0
     bias = xp.where(
-        local_mean * three > mean * four,
+        drift_on & cond_up,
         xp.int32(1),
-        xp.where(local_mean * four + three < mean * three, xp.int32(-1), xp.int32(0)),
+        xp.where(drift_on & ~cond_up & cond_down, xp.int32(-1), xp.int32(0)),
     )
-    bias = xp.where(mean > xp.uint64(0), bias, xp.int32(0))
 
     # micro window: quotient-distribution counters over the last 96
     # samples. Both flag cumsums ride ONE u32 scan: counts are <= L <=
     # 16384 < 2^16, so is_large packs in the low half and is_zero in the
     # high half with no carry between them.
     q_base = xp.where(k_base >= xp.int32(C.MAX_RICE_K), xp.uint64(0), u >> k_base.astype(xp.uint64))
-    packed = (q_base > three).astype(xp.uint32) + ((q_base == xp.uint64(0)).astype(xp.uint32) << xp.uint32(16))
+    packed = (q_base > xp.uint64(3)).astype(xp.uint32) + ((q_base == xp.uint64(0)).astype(xp.uint32) << xp.uint32(16))
     if use_pk:
         cp = _pk.cumsum_u32(packed.reshape(rows, L)).reshape(lead + (L,))
     else:
@@ -157,7 +187,7 @@ def k_used_from_after(k_after, initial_k, xp=np):
     return xp.where(first, init, shifted).astype(xp.int32)
 
 
-def k_used_stateless_from_cumsum(s_incl, pos_in_seg, initial_k_per_sample, xp=np, recip_table=None):
+def k_used_stateless_from_cumsum(s_incl, pos_in_seg, initial_k_per_sample, xp=np):
     """Per-sample encoding k for stateless (partitioned) adaptation, from
     a precomputed inclusive global cumsum of u (reused across partition
     orders during the sweep).
@@ -171,7 +201,7 @@ def k_used_stateless_from_cumsum(s_incl, pos_in_seg, initial_k_per_sample, xp=np
         s_shift, xp.broadcast_to(seg_start, s_incl.shape).astype(xp.int64), axis=-1
     ) if s_incl.ndim > 1 else s_shift[seg_start]
     seg_sum = s_incl - base
-    k_after = k_after_stateless(seg_sum, pos_in_seg, xp=xp, recip_table=recip_table)
+    k_after = k_after_stateless(seg_sum, pos_in_seg, xp=xp)
     shifted = shift_right(k_after, 1, xp=xp)
     return xp.where(pos_in_seg == 0, initial_k_per_sample, shifted).astype(xp.int32)
 

@@ -82,3 +82,47 @@ def test_stateful_jax_matches_numpy():
     k_np = adapt.k_after_stateful(us[None, :])
     k_jx = adapt.k_after_stateful(jnp.asarray(us)[None, :], xp=jnp)
     np.testing.assert_array_equal(np.asarray(k_np), np.asarray(k_jx))
+
+
+def test_floordiv3_exhaustive_boundaries():
+    # every value near each multiple-of-3 boundary across the full
+    # stated domain (< 2^35), plus a dense low sweep
+    xs = np.concatenate(
+        [
+            np.arange(0, 200000, dtype=np.uint64),
+            (np.uint64(3) * np.arange(1, 2**33 // 3, 2**21, dtype=np.uint64))[:, None]
+            + np.arange(-2, 3, dtype=np.int64)[None, :].astype(np.uint64),
+        ],
+        axis=None,
+    ).ravel()
+    xs = xs[xs < np.uint64(2**35)]
+    np.testing.assert_array_equal(adapt._floordiv3(xs, np), xs // np.uint64(3))
+
+
+def test_k_base_divfree_brute_force():
+    # direct check of min(31, bit_width(mean-1)) against integer division
+    # across counts, including the huge-u regime (u up to 2^32-1)
+    rng = np.random.RandomState(0xD1F)
+    counts = np.concatenate([np.arange(1, 300), np.array([511, 512, 8191, 16384])]).astype(np.uint64)
+    for scale_bits in (3, 16, 32, 46):
+        sums = rng.randint(0, 2**scale_bits, size=counts.shape, dtype=np.uint64)
+        N = sums + (counts >> np.uint64(1))
+        mean = N // counts
+        want = np.where(
+            mean <= 1, 0, np.minimum(31, [max(int(m) - 1, 0).bit_length() for m in mean])
+        ).astype(np.int32)
+        got = adapt.k_after_stateless(sums, (counts - 1).astype(np.int64))
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_stateful_drift_threshold_extremes():
+    # long alternating extreme/zero sequences push lm vs mean to the
+    # division-free threshold boundaries on both sides of the 256-sample
+    # drift window fill
+    pat = np.array([0xFFFFFFFF, 0, 0, 0xFFFFFFFF] * 200, dtype=np.uint64)
+    _check_stateful(pat, initial_k=12)
+    ramp = (np.arange(700, dtype=np.uint64) * np.uint64(6150533)) % np.uint64(0xFFFFFFFF)
+    _check_stateful(ramp, initial_k=0)
+    # quiet prefix then loud tail: drift bias flips sign around the join
+    mix = np.concatenate([np.full(300, 2, np.uint64), np.full(300, 0x7FFFFFFF, np.uint64)])
+    _check_stateful(mix, initial_k=1)
