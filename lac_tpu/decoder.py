@@ -17,7 +17,7 @@ from .format import constants as C
 from .format.header import FrameHeader
 from .format.partitions import parse_control_byte
 from .format.zigzag import zigzag_decode
-from .ops import adapt, predictors
+from .ops import predictors
 from .ops.stereo import ms_inverse
 
 

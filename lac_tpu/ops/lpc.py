@@ -18,8 +18,6 @@ Parity-critical numerics (lpc.cpp:64-186):
 
 import numpy as np
 
-from ..format import constants as C
-
 # Byte parity depends on np.longdouble being the x87 80-bit extended type
 # (matching the reference's `long double` on x86-64). On aarch64/Windows
 # longdouble is 64- or 128-bit and would silently produce near-but-not-

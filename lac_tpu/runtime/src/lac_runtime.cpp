@@ -1390,21 +1390,19 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
       const int32_t* x = pcm + static_cast<uint64_t>(b) * n;
 
       CandScore sc[kNumCand];
-      bool valid[kNumCand];
       bool in_range = true;
       uint64_t best_key = ~0ULL;
       uint32_t sel = 0;
       for (uint32_t c = 0; c < kNumCand; ++c) {
-        valid[c] = true;
         if (c < kLpcBase) {
           compute_residual(x, n, kCandPtype[c], c < kNumFixed ? c : 2,
                            nullptr, res.data());
         } else {
           const uint32_t li = c - kLpcBase;
-          if (!lpc_valid[li * B + b]) { valid[c] = false; continue; }
+          if (!lpc_valid[li * B + b]) continue;
           const int16_t* co = lpc_coeffs + (static_cast<uint64_t>(li) * B + b) * 13;
           const bool ok = lpc_residual_checked(x, n, co, 12, res.data());
-          if (!ok) { valid[c] = false; in_range = false; continue; }
+          if (!ok) { in_range = false; continue; }
         }
         score_candidate(res.data(), n, sc[c], runlen.data());
         const uint64_t zr_eff =

@@ -17,9 +17,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-# the plane pipeline's production chunk width (128 blocks) would compile
-# a (128, 16384) planner on one CPU core — shrink it for the suite; the
-# pipeline logic is width-independent and byte-parity is asserted anyway
+# COVERAGE NOTE: the plane pipeline's production chunk widths (128/256
+# blocks) would take tens of minutes to compile a (128, 16384) planner
+# on one CPU core — the suite pins a small width instead. The pipeline
+# logic is width-independent and byte parity is asserted throughout;
+# the production (128/256, 16384) executables themselves are exercised
+# by scripts/warm_cache.py + bench.py on TPU hardware every round, and
+# by the slow smoke test (LAC_TPU_SLOW=1 python -m pytest
+# tests/test_device_pipeline.py -k production_shape).
 os.environ.setdefault("LAC_TPU_CHUNK_BLOCKS", "16")
 
 import pathlib

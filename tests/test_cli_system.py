@@ -2,14 +2,12 @@
 long paths (mirrors reference tests/test_cli.cpp:249-401)."""
 
 import os
-import stat
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
-from lac_tpu.io import read_wav, write_wav
+from lac_tpu.io import write_wav
 
 from .signals import lcg_noise
 

@@ -91,8 +91,6 @@ def test_debug_lpc_and_partitions_match_wire(stereo_wav, tmp_path):
 
 
 def test_debug_threads_reports_measured_count(stereo_wav, tmp_path):
-    from lac_tpu.runtime.native import native_available
-
     out = str(tmp_path / "o.lac")
     r = _run_cli(["encode", stereo_wav, out, "--debug-threads"])
     assert r.returncode == 0

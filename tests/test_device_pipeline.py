@@ -7,6 +7,8 @@ byte-identity: every frame must equal the numpy/legacy path (which the
 rest of the suite pins to the reference binary).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -107,3 +109,18 @@ def test_chunk_width_ladder(monkeypatch):
     assert DP.chunk_width(DP.CHUNK_LADDER[1] - 1) == DP.CHUNK_LADDER[0]
     assert DP.chunk_width(DP.CHUNK_LADDER[1]) == DP.CHUNK_LADDER[1]
     assert DP.chunk_width(10**6) == DP.CHUNK_LADDER[-1]
+
+
+@pytest.mark.skipif(
+    os.environ.get("LAC_TPU_SLOW") != "1",
+    reason="production-shape compile smoke: tens of minutes on one CPU core "
+    "(run with LAC_TPU_SLOW=1; on TPU the shape is exercised by "
+    "warm_cache.py + bench.py every round)",
+)
+def test_production_shape_parity(monkeypatch):
+    # compile + run the real (128, 16384) chunk width once and assert
+    # byte parity against the host path
+    monkeypatch.setattr(DP, "CHUNK_BLOCKS", 128)
+    l, r = _signal(16384 * 130, 77)
+    a, b = _both(2, 16, l, r)
+    assert a == b

@@ -6,7 +6,6 @@ import os
 import subprocess
 
 import numpy as np
-import pytest
 
 from lac_tpu.decoder import DecodeError, FrameDecoder
 from lac_tpu.encoder import FrameEncoder

@@ -12,7 +12,6 @@ from lac_tpu.format import constants as C
 from lac_tpu.format.zigzag import zigzag_decode, zigzag_encode
 
 from .oracle import StatefulAdapt, zigzag
-from .signals import lcg_noise
 
 
 def write_rice_signed(w, value, k):

@@ -3,7 +3,6 @@ main.cpp:184-430): chunk-of-blocks native decode streamed straight into
 the WAV file must be byte-identical to the in-memory decode + canonical
 writer, for every chunk size."""
 
-import numpy as np
 import pytest
 
 from lac_tpu.decoder import DecodeError, FrameDecoder
