@@ -136,6 +136,21 @@ def _jitted_analyze(K, kind, in_dtype, mesh=None):
         P = planes.shape[0]
         out["planes"] = planes.reshape(P * Kl, N)
         out["lags"] = lpc.autocorrelation(out["planes"], 12, xp=jnp)
+        if mesh is None:
+            # single-device path: the outputs dispatch_plan BLOCKS on
+            # (cm/un/lags) ride one packed i64 buffer -> one D2H fetch.
+            # The dev tunnel moves these small fetches at only a few
+            # MB/s with ~10 ms latency each, so both fetch count AND
+            # fetched bytes matter. plags (12K x 13 i64, 75% of the
+            # bytes) stays a separate buffer: its async copy starts at
+            # analyze time and is only ever awaited inside the probe
+            # path, overlapped with the full-lane plan dispatch.
+            parts = []
+            if kind == "auto":
+                parts += [out.pop("cm").astype(jnp.int64),
+                          out.pop("un").astype(jnp.int64)]
+            parts.append(out.pop("lags").reshape(-1))
+            out["hostbuf"] = jnp.concatenate(parts)
         return out
 
     if mesh is None:
@@ -222,7 +237,7 @@ class _ChunkJob:
             args = (put(lmat),)
             args += (put(rmat),) if rmat is not None else (put(lmat),)
             self.dev = fn(*args)
-        for key in ("cm", "un", "lags", "plags"):
+        for key in ("hostbuf", "cm", "un", "lags", "plags"):
             if key in self.dev:
                 try:
                     self.dev[key].copy_to_host_async()
@@ -238,12 +253,26 @@ class _ChunkJob:
 
         pipe, K, kc = self.pipe, self.pipe.K, self.kc
         with _dbg.phase("flags_fetch"):
-            lags = np.asarray(self.dev["lags"])
-            if pipe.kind == "auto":
-                cm = np.asarray(self.dev["cm"])[:kc]
-                un = np.asarray(self.dev["un"])[:kc]
+            if "hostbuf" in self.dev:
+                buf = np.asarray(self.dev["hostbuf"])
+                if pipe.kind == "auto":
+                    cm = buf[:K].astype(bool)[:kc]
+                    un = buf[K : 2 * K].astype(bool)[:kc]
+                    o = 2 * K
+                else:
+                    cm = un = None
+                    o = 0
+                nl = pipe.nplanes * K
+                lags = buf[o : o + nl * 13].reshape(nl, 13)
+                self._plags = None
             else:
-                cm = un = None
+                lags = np.asarray(self.dev["lags"])
+                if pipe.kind == "auto":
+                    cm = np.asarray(self.dev["cm"])[:kc]
+                    un = np.asarray(self.dev["un"])[:kc]
+                else:
+                    cm = un = None
+                self._plags = None
         self.cm, self.un = cm, un
 
         # full-lane row list: (flat plane row, local block, variant, slot)
@@ -338,7 +367,7 @@ class _ChunkJob:
         from .encoder import _jitted_plan, lpc_candidates_from_lags
 
         pipe, K = self.pipe, self.pipe.K
-        plags = np.asarray(self.dev["plags"])
+        plags = self._plags if self._plags is not None else np.asarray(self.dev["plags"])
         # probe row layout inside (4, Kl, 3, PROBE).reshape(-1, PROBE)
         # (plane-major on one device, shard-major under a mesh):
         rows, recs = [], []

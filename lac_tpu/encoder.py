@@ -100,8 +100,14 @@ def _pad_to_byte(bits, xp):
 
 
 def _rice_cost(u, k_used, xp):
-    q = xp.where(k_used >= xp.int32(C.MAX_RICE_K), xp.uint64(0), u >> k_used.astype(xp.uint64))
-    return q + xp.uint64(1) + k_used.astype(xp.uint64)
+    # shift in native u32 (u < 2^32); only the +1+k sum needs u64
+    # headroom (q can be 2^32 - 1 at k = 0)
+    q = xp.where(
+        k_used >= xp.int32(C.MAX_RICE_K),
+        xp.uint32(0),
+        u.astype(xp.uint32) >> k_used.astype(xp.uint32),
+    )
+    return q.astype(xp.uint64) + xp.uint64(1) + k_used.astype(xp.uint64)
 
 
 def _mode_cost_fields(v, u, k_used, run_len, long_run, run_start, xp):
@@ -110,8 +116,8 @@ def _mode_cost_fields(v, u, k_used, run_len, long_run, run_start, xp):
     absv = xp.abs(v.astype(xp.int64))
     bin_per = xp.where(absv == 0, xp.uint64(2), xp.where(absv <= 2, xp.uint64(3), xp.uint64(2) + rice_per))
     esc_shift = xp.minimum(k_used + C.ESCAPE_K_OFFSET, xp.int32(C.ESCAPE_K_CAP))
-    esc = xp.uint64(1) << esc_shift.astype(xp.uint64)
-    token_per = xp.uint64(2) + xp.where(u > esc, xp.uint64(32), rice_per)
+    esc = xp.uint32(1) << esc_shift.astype(xp.uint32)  # <= 2^24: u32-exact
+    token_per = xp.uint64(2) + xp.where(u.astype(xp.uint32) > esc, xp.uint64(32), rice_per)
     run_per = (
         xp.uint64(2)
         + ((run_len - C.ZERO_RUN_MIN_LENGTH).astype(xp.uint64) >> xp.uint64(C.ZERO_RUN_LENGTH_K))
@@ -197,7 +203,10 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     valid = xp.concatenate([xp.ones((B, _LPC_BASE), dtype=bool), (lpc_valid & lpc_in_range).T], axis=1)
 
     # ---- whole-block stateful scoring per candidate
-    u = zigzag_encode(residuals).astype(xp.uint64)
+    # u stays uint32 (zigzag codes are u32 by construction): every HBM
+    # pass over the (B, ncand, n) stack moves half the bytes of the old
+    # u64 layout, and all shifts/compares run native instead of emulated
+    u = zigzag_encode(residuals)
     scan = min(C.INITIAL_SCAN_COUNT, n)
     head_costs = _k_costs_stack(u[..., :scan], C.INITIAL_MAX_K, xp)
     initial_k = xp.argmin(head_costs, axis=-1).astype(xp.int32)
@@ -234,7 +243,7 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     oh3 = onehot[:, :, None]
     g2 = lambda a: xp.take_along_axis(a, sel_idx[:, None], axis=1)[:, 0]  # (B, ncand): tiny
     v_w = xp.sum(xp.where(oh3, residuals, xp.int32(0)), axis=1)
-    u_w = xp.sum(xp.where(oh3, u, xp.uint64(0)), axis=1)
+    u_w = xp.sum(xp.where(oh3, u, xp.uint32(0)), axis=1)
     k_after_w = xp.sum(xp.where(oh3, k_after, xp.int32(0)), axis=1)
     initial_k_w = g2(initial_k)
     static_k_w = g2(static_k)
@@ -282,6 +291,7 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     # All big accumulations use the 16-bit-split trick (u = uhi<<16+ulo)
     # so cumsums run in native uint32; 64-bit math only touches the tiny
     # (B, nparts) boundary combinations.
+    any_unequal = any(n % (1 << p) for p in range(1, max_p + 1))
     if max_p > 0:
         u32v = u_w.astype(xp.uint32)
         uhi = u32v >> xp.uint32(16)
@@ -289,12 +299,18 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
         zero1 = xp.zeros((B, 1), dtype=xp.uint32)
         csz_hi = xp.concatenate([zero1, xp.cumsum(uhi, axis=-1)], axis=-1)  # (B, n+1)
         csz_lo = xp.concatenate([zero1, xp.cumsum(ulo, axis=-1)], axis=-1)
-        # per-k shifted-low cost cumsums: (B, n+1, 17)
+        karr_u64 = xp.asarray(np.arange(C.MAX_STATIC_K + 1, dtype=np.uint64))
+    if max_p > 0 and any_unequal:
+        # per-k shifted-low cost cumsums: (B, n+1, 17). Only built for
+        # odd block sizes whose sweep has unequal partitions — on the
+        # hot power-of-two shapes the table (and its ~2.7 GB of HBM
+        # traffic at (128, 16384)) never exists; equal partitions get
+        # their per-k segment sums from one reshape-reduce/Pallas pass
+        # over u instead (bit-identical: exact integer sums either way).
         lo_k = xp.stack([ulo >> xp.uint32(k) for k in range(C.MAX_STATIC_K + 1)], axis=-1)
         csz_lok = xp.concatenate(
             [xp.zeros((B, 1, C.MAX_STATIC_K + 1), dtype=xp.uint32), xp.cumsum(lo_k, axis=-2)], axis=-2
         )
-        karr_u64 = xp.asarray(np.arange(C.MAX_STATIC_K + 1, dtype=np.uint64))
 
     def _k_cost_seg(starts_1d, ends_1d, seg_sizes_u64, kmax):
         """Per-partition rice-cost stack for k in [0, kmax] from the
@@ -318,7 +334,17 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
         def rep(a):
             return _repeat_cols(a, sizes_np, n, xp)
 
-        hc = _k_cost_seg(starts_1d, head_ends_1d, xp.asarray(head_sizes.astype(np.uint64)), C.INITIAL_MAX_K)
+        equal = n % nparts == 0
+        if equal:
+            # equal partitions: per-partition k-cost stacks come straight
+            # from the (B, nparts, base) view of u — the same Pallas
+            # reduction (or split reshape-reduce) as the whole-block
+            # costs, no boundary cumsum table
+            u3 = u_w.reshape(B, nparts, base)
+            head = min(C.INITIAL_SCAN_COUNT, base)
+            hc = _k_costs_stack(u3[..., :head], C.INITIAL_MAX_K, xp)
+        else:
+            hc = _k_cost_seg(starts_1d, head_ends_1d, xp.asarray(head_sizes.astype(np.uint64)), C.INITIAL_MAX_K)
         init_k_seg = xp.argmin(hc, axis=-1).astype(xp.int32)  # (B, nparts)
 
         # stateless per-sample k from split segment sums (no gathers:
@@ -361,7 +387,10 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
             zr_s = (seg7[..., 5] << xp.uint64(16)) + seg7[..., 2]
             has_run_s = seg7[..., 6] > 0
 
-        sc = _k_cost_seg(starts_1d, ends_1d, xp.asarray(sizes_np.astype(np.uint64)), C.MAX_STATIC_K)
+        if equal:
+            sc = _k_costs_stack(u3, C.MAX_STATIC_K, xp)
+        else:
+            sc = _k_cost_seg(starts_1d, ends_1d, xp.asarray(sizes_np.astype(np.uint64)), C.MAX_STATIC_K)
         static_k_s = xp.argmin(sc, axis=-1).astype(xp.int32)
         static_s = xp.min(sc, axis=-1)
 
@@ -434,7 +463,7 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     absv = xp.abs(v_w.astype(xp.int64))
     sign = (v_w < 0).astype(xp.uint8)
     esc_shift = xp.minimum(k_eff + C.ESCAPE_K_OFFSET, xp.int32(C.ESCAPE_K_CAP))
-    escape = is_zr & ~long_e & (u_w > (xp.uint64(1) << esc_shift.astype(xp.uint64)))
+    escape = is_zr & ~long_e & (u_w > (xp.uint32(1) << esc_shift.astype(xp.uint32)))
     zr_run = is_zr & start_e
     silent = is_zr & long_e & ~start_e
     zr_normal = is_zr & ~long_e & ~escape
@@ -466,7 +495,7 @@ def plan_group(pcm, lpc_coeffs, lpc_valid, n, zero_run_enabled, partitioning_ena
     head_len = xp.where(silent, xp.uint8(0), head_len)
 
     headcode = cls | (head_val << xp.uint8(3)) | (head_len << xp.uint8(6))
-    payload = xp.where(zr_run, run_len_e.astype(xp.uint64), u_w).astype(xp.uint32)
+    payload = xp.where(zr_run, run_len_e.astype(xp.uint32), u_w.astype(xp.uint32))
 
     # one contiguous u8 ship buffer: payload LE bytes, headcode, k
     pb = [(payload >> xp.uint32(8 * i)).astype(xp.uint8) for i in range(4)]

@@ -89,7 +89,6 @@ def k_after_stateful(u, xp=np):
     ``u``: (..., L) uint64 unsigned residuals. Returns int32 (..., L).
     """
     one = xp.uint64(1)
-    u = u.astype(xp.uint64)
     L = u.shape[-1]
     lead = u.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
@@ -151,8 +150,11 @@ def k_after_stateful(u, xp=np):
     # samples. Both flag cumsums ride ONE u32 scan: counts are <= L <=
     # 16384 < 2^16, so is_large packs in the low half and is_zero in the
     # high half with no carry between them.
-    q_base = xp.where(k_base >= xp.int32(C.MAX_RICE_K), xp.uint64(0), u >> k_base.astype(xp.uint64))
-    packed = (q_base > xp.uint64(3)).astype(xp.uint32) + ((q_base == xp.uint64(0)).astype(xp.uint32) << xp.uint32(16))
+    # native u32 shift (u < 2^32; only the >3 / ==0 flags are consumed)
+    q_base = xp.where(
+        k_base >= xp.int32(C.MAX_RICE_K), xp.uint32(0), u32v >> k_base.astype(xp.uint32)
+    )
+    packed = (q_base > xp.uint32(3)).astype(xp.uint32) + ((q_base == xp.uint32(0)).astype(xp.uint32) << xp.uint32(16))
     if use_pk:
         cp = _pk.cumsum_u32(packed.reshape(rows, L)).reshape(lead + (L,))
     else:

@@ -33,8 +33,6 @@ Bit order matches the wire: bit 0 of the stream is the MSB of word 0
 
 import numpy as np
 
-from ..format import constants as C
-
 
 def words_capacity(max_bits):
     """Output words for a lane whose stream is at most ``max_bits``."""

@@ -49,7 +49,7 @@ def warm_planes():
                 t0 = time.time()
                 lmat = jax.device_put(np.zeros((K, DP.N), dt))
                 out = DP._jitted_analyze(K, kind, str(np.dtype(dt)))(lmat, lmat)
-                jax.block_until_ready(out["lags"])
+                jax.block_until_ready(out.get("hostbuf", out.get("lags")))
                 g = DP._jitted_gather(DP.N)(out["planes"], rowsK)
                 jax.block_until_ready(g)
                 if kind == "auto":
