@@ -88,6 +88,13 @@ def k_after_stateful(u, xp=np):
 
     ``u``: (..., L) uint64 unsigned residuals. Returns int32 (..., L).
     """
+    # NOTE: a fully fused single-pass Pallas formulation of this function
+    # exists (ops/pallas_adapt.py, bit-identical, tests/test_pallas_adapt)
+    # but measured SLOWER than this split XLA+Pallas chain on the v5e
+    # (34-38 ms vs ~27 ms at (1408, 16384)): the in-kernel log-step roll
+    # scans are VPU-compute-bound, while XLA's fused elementwise segments
+    # between the lean scan kernels codegen better. Kept as a measured
+    # experiment, not a product path (ROADMAP.md §4).
     one = xp.uint64(1)
     L = u.shape[-1]
     lead = u.shape[:-1]
