@@ -68,7 +68,46 @@ def make_corpus():
     return left, right
 
 
-def bench_ours(left, right, repeats=6, stage_budget_frac=0.72):
+def _variant(left, i):
+    # each timed run gets fresh content: the TPU terminal memoizes
+    # identical-input executions, which would fake the timing
+    lp = left.copy()
+    lp[:: FRAMES // 97] = np.clip(lp[:: FRAMES // 97] + i + 1, -32768, 32767)
+    return lp
+
+
+def bench_native(left, right, repeats=3):
+    """One-shot host path (the cold-route CLI contract): native C++
+    planner+emitter, loads NO device executables. Fast to measure and
+    immune to tunnel state — the guaranteed-headline fallback."""
+    from lac_tpu.encoder import FrameEncoder
+
+    try:
+        import jax.numpy as jnp
+
+        xp = jnp
+    except Exception:
+        xp = np
+    prev = os.environ.get("LAC_TPU_COLD_BLOCKS")
+    os.environ["LAC_TPU_COLD_BLOCKS"] = "1000000000"
+    try:
+        enc = FrameEncoder(12, 2, SR, 16, xp=xp)
+        bitstream = enc.encode(left, right)
+        best = float("inf")
+        for i in range(repeats):
+            lp = _variant(left, i)
+            t0 = time.perf_counter()
+            enc.encode(lp, right)
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        if prev is None:
+            os.environ.pop("LAC_TPU_COLD_BLOCKS", None)
+        else:
+            os.environ["LAC_TPU_COLD_BLOCKS"] = prev
+    return bitstream, FRAMES / best
+
+
+def bench_ours(left, right, repeats=10, stage_budget_frac=0.72):
     from lac_tpu.encoder import FrameEncoder
 
     try:
@@ -79,18 +118,11 @@ def bench_ours(left, right, repeats=6, stage_budget_frac=0.72):
         xp = np
     enc = FrameEncoder(12, 2, SR, 16, xp=xp)
 
-    def variant(i):
-        # each timed run gets fresh content: the TPU terminal memoizes
-        # identical-input executions, which would fake the timing
-        lp = left.copy()
-        lp[:: FRAMES // 97] = np.clip(lp[:: FRAMES // 97] + i + 1, -32768, 32767)
-        return lp
-
     enc.encode(left, right)  # warmup (compilation / executable load)
-    enc.encode(variant(100), right)  # warm content-dependent executables
+    enc.encode(_variant(left, 100), right)  # warm content-dependent executables
     best = float("inf")
     for i in range(repeats):
-        lp = variant(i)
+        lp = _variant(left, i)
         t0 = time.perf_counter()
         enc.encode(lp, right)
         best = min(best, time.perf_counter() - t0)
@@ -216,7 +248,64 @@ def main():
             ref_fps = json.loads(BASELINE_FILE.read_text())["reference_frames_per_s"]
         except Exception:
             ref_fps = None
-    enc, bitstream, ours_fps = bench_ours(left, right)
+
+    # guaranteed fallback FIRST: the native host path loads no device
+    # executables, so it always produces an honest parity-gated number
+    # in seconds — the device path's per-process executable load through
+    # the dev tunnel has been observed anywhere from ~100 s to ~520 s
+    # depending on tunnel state, which can exceed the driver's budget.
+    nat_bs, nat_fps = bench_native(left, right)
+    if ref_bytes is not None and ref_bytes != nat_bs:
+        emit({"metric": "encode_throughput", "value": 0.0, "unit": "frames/s",
+              "vs_baseline": 0.0, "error": "native-path bitstream parity FAILED"})
+        return 1
+
+    # device (warm serving) path behind a FORKED dead-man's switch: the
+    # per-process executable load through the dev tunnel has measured
+    # anywhere from ~60 s to >500 s, and a wedged tunnel can block the
+    # parent inside a C call (GIL held — an in-process watchdog thread
+    # would starve). The child shares stdout, holds the native-path
+    # headline, and prints it itself if the parent hasn't reported in
+    # by the deadline — so the driver ALWAYS sees a parseable line.
+    vs_nat = (nat_fps / ref_fps) if ref_fps else None
+    nat_result = {
+        "metric": "encode_throughput",
+        "value": round(nat_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(vs_nat, 3) if vs_nat else None,
+        "path": "native-fallback",
+        "note": "device path did not finish in budget; see docs/benchmarks.md",
+    }
+    floor = max(45.0, 0.15 * BUDGET_S)
+    rfd, wfd = os.pipe()
+    pid = os.fork()
+    if pid == 0:  # child: no jax, just the deadline
+        os.close(wfd)
+        import select
+
+        deadline = max(remaining() - floor, 1.0)
+        ready, _, _ = select.select([rfd], [], [], deadline)
+        if not ready:
+            sys.stdout.write(json.dumps(nat_result) + "\n")
+            sys.stdout.flush()
+        os._exit(0)
+    os.close(rfd)
+
+    try:
+        enc, bitstream, ours_fps = bench_ours(left, right)
+    except Exception as e:
+        os.close(wfd)  # let the child fire the native headline now...
+        time.sleep(0.5)
+        os.waitpid(pid, 0)
+        nat_result["device_error"] = repr(e)
+        emit(nat_result)  # ...and also emit it with the error attached
+        return 0
+    try:
+        os.write(wfd, b"x")  # device result in hand: stand the child down
+        os.close(wfd)
+    except OSError:
+        pass  # child already fired the fallback line and exited
+    os.waitpid(pid, 0)
     if ref_bytes is not None and ref_bytes != bitstream:
         emit({"metric": "encode_throughput", "value": 0.0, "unit": "frames/s",
               "vs_baseline": 0.0, "error": "bitstream parity FAILED"})
