@@ -77,6 +77,15 @@ def main():
     # legacy group-path buckets (int16 when content fits, else int32)
     warm(C.MAX_BLOCK_SIZE, (1, 2, 4, 8, 16, 32, 64, 128), emit_fields)
     warm(C.STEREO_PROBE_SIZE, (16, 64, 256, 1024), emit_fields)
+    # the driver's __graft_entry__.entry() compile-check shape: (8, 4096)
+    # WITH emission fields — not hit by any product path above, and a
+    # fresh remote compile can take many minutes under tunnel load
+    t0 = time.time()
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    jax.block_until_ready(jax.jit(fn)(*(jax.device_put(a) for a in args))["meta"])
+    print(f"entry() shape: {time.time() - t0:.1f}s", flush=True)
     print("cache warm.")
 
 
