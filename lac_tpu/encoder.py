@@ -859,7 +859,11 @@ class ChannelBlockEncoder:
         elif is_jax(self.xp):
             R = np.asarray(_jitted_autocorr(12)(self.xp.asarray(pcm_np)))[:B]
         else:
-            R = lpc.autocorrelation(pcm_np, 12)
+            from .runtime.native import autocorr_native
+
+            R = autocorr_native(pcm_np, 12)
+            if R is None:
+                R = lpc.autocorrelation(pcm_np, 12)
         return lpc_candidates_from_lags(R, n)
 
     # device batch buckets: groups are padded up to the next power of two

@@ -129,6 +129,12 @@ def get_native():
             i16p, u8p, ctypes.c_uint32, ctypes.c_uint32,
             i8p, ctypes.c_int32,
         ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.lac_autocorr.restype = ctypes.c_int
+        lib.lac_autocorr.argtypes = [
+            i32p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            i64p, ctypes.c_int32,
+        ]
         lib.lac_thread_collector_reset.restype = None
         lib.lac_thread_collector_reset.argtypes = []
         lib.lac_thread_collector_count.restype = ctypes.c_uint64
@@ -303,6 +309,27 @@ def plan_blocks_native(pcm, lpc_coeffs, lpc_valid, zero_run_enabled,
     if status != 0:
         return None
     return meta
+
+
+def autocorr_native(pcm, max_order=12, num_threads=0):
+    """Exact int64 autocorrelation lags 0..max_order per lane, AVX-512
+    8-wide MACs (the host twin of ops/lpc.py autocorrelation; reference
+    lpc.cpp:80-96). Avoids numpy's (B, n) int64 temporaries on the
+    one-shot CLI path. Returns (B, max_order+1) int64, or None when the
+    native runtime is unavailable."""
+    lib = get_native()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(pcm, dtype=np.int32)
+    B, n = pcm.shape
+    out = np.empty((B, max_order + 1), dtype=np.int64)
+    status = lib.lac_autocorr(
+        _ptr(pcm, ctypes.c_int32), B, n, max_order,
+        _ptr(out, ctypes.c_int64), num_threads,
+    )
+    if status != 0:
+        return None
+    return out
 
 
 def emit_blocks_planes_native(lview, rview, rows, variants, slots, starts, n,

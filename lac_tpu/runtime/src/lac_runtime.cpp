@@ -24,6 +24,11 @@
 #if defined(__AVX512F__) && defined(__AVX512DQ__)
 #include <immintrin.h>
 #define LAC_SIMD_LPC 1
+// gcc 12's avx512 headers seed results with `__m512i __Y = __Y;`
+// (_mm512_undefined_epi32), which trips -Wmaybe-uninitialized whenever a
+// cvt/extract intrinsic inlines into a bigger frame — a known header
+// false positive (gcc PR105593 family), not a bug in this file.
+#pragma GCC diagnostic ignored "-Wmaybe-uninitialized"
 #endif
 
 namespace {
@@ -1292,27 +1297,199 @@ struct CandScore {
   bool has_run = false;
 };
 
-// one full-block scoring pass: initial/static k sweeps + the stateful
-// adaptive-k cost simulation for rice/bin/zero-run in one scan.
-// `runlen`: scratch (n) — maximal zero-run length at each zero sample.
-void score_candidate(const int32_t* res, uint32_t n, CandScore& s, uint32_t* runlen) {
-  const uint32_t scan = n < kInitialScan ? n : kInitialScan;
-  uint64_t head[kInitialMaxK + 1] = {0};
-  uint64_t stat[kMaxStaticK + 1] = {0};
-  for (uint32_t i = 0; i < n; ++i) {
-    const uint32_t u = zigzag_u(res[i]);
-    for (uint32_t k = 0; k <= kMaxStaticK; ++k) stat[k] += u >> k;
-    if (i < scan)
-      for (uint32_t k = 0; k <= kInitialMaxK; ++k) head[k] += u >> k;
+// ---- vectorized planner primitives ----------------------------------
+//
+// The cost model is split into (a) embarrassingly parallel per-sample
+// sweeps (zigzag, sum(u >> k) for k = 0..15, per-sample mode costs given
+// a k sequence) which run 16-wide under AVX-512, and (b) the inherently
+// serial adaptation recurrences (adapt_stateful / adapt_stateless_inc)
+// which stay scalar but now only record the k *sequence* instead of also
+// computing every mode cost inline. The scalar twins below each SIMD
+// body are the spec; parity is pinned by tests/test_native_planner.py.
+
+inline void zigzag_fill(const int32_t* res, uint32_t n, uint32_t* u) {
+  uint32_t i = 0;
+#if defined(LAC_SIMD_LPC)
+  for (; i + 16 <= n; i += 16) {
+    const __m512i v = _mm512_loadu_si512(res + i);
+    const __m512i z =
+        _mm512_xor_si512(_mm512_slli_epi32(v, 1), _mm512_srai_epi32(v, 31));
+    _mm512_storeu_si512(u + i, z);
   }
+#endif
+  for (; i < n; ++i) u[i] = zigzag_u(res[i]);
+}
+
+// out[k] += sum_{i in [lo, hi)} u[i] >> k, k = 0..15
+inline void ksweep16(const uint32_t* u, uint32_t lo, uint32_t hi, uint64_t out[16]) {
+  uint32_t i = lo;
+#if defined(LAC_SIMD_LPC)
+  __m512i acc[16];
+  for (int k = 0; k < 16; ++k) acc[k] = _mm512_setzero_si512();
+  for (; i + 8 <= hi; i += 8) {
+    __m512i v = _mm512_cvtepu32_epi64(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(u + i)));
+    acc[0] = _mm512_add_epi64(acc[0], v);
+    for (int k = 1; k < 16; ++k) {
+      v = _mm512_srli_epi64(v, 1);
+      acc[k] = _mm512_add_epi64(acc[k], v);
+    }
+  }
+  for (int k = 0; k < 16; ++k)
+    out[k] += static_cast<uint64_t>(_mm512_reduce_add_epi64(acc[k]));
+#endif
+  for (; i < hi; ++i) {
+    const uint32_t uu = u[i];
+    for (uint32_t k = 0; k < 16; ++k) out[k] += uu >> k;
+  }
+}
+
+// i-major prefix-sum table: ps[i*16 + k] = sum_{j < i} u[j] >> k
+// (row n inclusive, so partition ranges are two row lookups).
+inline void psum_build(const uint32_t* u, uint32_t n, uint64_t* ps) {
+#if defined(LAC_SIMD_LPC)
+  __m512i acc_a = _mm512_setzero_si512();
+  __m512i acc_b = _mm512_setzero_si512();
+  const __m512i sh_a = _mm512_set_epi64(7, 6, 5, 4, 3, 2, 1, 0);
+  const __m512i sh_b = _mm512_set_epi64(15, 14, 13, 12, 11, 10, 9, 8);
+  _mm512_storeu_si512(ps, acc_a);
+  _mm512_storeu_si512(ps + 8, acc_b);
+  for (uint32_t i = 0; i < n; ++i) {
+    const __m512i ub = _mm512_set1_epi64(u[i]);
+    acc_a = _mm512_add_epi64(acc_a, _mm512_srlv_epi64(ub, sh_a));
+    acc_b = _mm512_add_epi64(acc_b, _mm512_srlv_epi64(ub, sh_b));
+    _mm512_storeu_si512(ps + static_cast<size_t>(i + 1) * 16, acc_a);
+    _mm512_storeu_si512(ps + static_cast<size_t>(i + 1) * 16 + 8, acc_b);
+  }
+#else
+  uint64_t acc[16] = {0};
+  std::memcpy(ps, acc, sizeof acc);
+  for (uint32_t i = 0; i < n; ++i) {
+    const uint32_t uu = u[i];
+    for (uint32_t k = 0; k < 16; ++k) acc[k] += uu >> k;
+    std::memcpy(ps + static_cast<size_t>(i + 1) * 16, acc, sizeof acc);
+  }
+#endif
+}
+
+struct ModeCosts {
+  uint64_t rice = 0, bin = 0, zr_esc = 0;
+};
+
+// Per-sample mode costs over [lo, hi) given the per-sample k sequence:
+//   rice  += q + 1 + k                     (q = u >> k, forced 0 at k >= 31)
+//   bin   += u == 0 ? 2 : u <= 4 ? 3 : 2 + rice_per
+//   zr_esc+= covered ? 0 : 2 + (u > 1 << min(k+3, 24) ? 32 : rice_per)
+// `covered[i]` marks zeros inside a >= kZrMinRun run (their bits are the
+// run token, added by the serial pass). Semantics: encoder.cpp:201-263.
+inline void cost_pass(const uint32_t* u, const uint8_t* kseq, const uint8_t* covered,
+                      uint32_t lo, uint32_t hi, ModeCosts& mc) {
+  uint32_t i = lo;
+#if defined(LAC_SIMD_LPC)
+  __m512i rice_acc = _mm512_setzero_si512();
+  __m512i bin_acc = _mm512_setzero_si512();
+  __m512i zr_acc = _mm512_setzero_si512();
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i one32 = _mm512_set1_epi32(1);
+  const __m512i three32 = _mm512_set1_epi32(3);
+  const __m512i four32 = _mm512_set1_epi32(4);
+  const __m512i v24 = _mm512_set1_epi32(24);
+  const __m512i v31 = _mm512_set1_epi32(31);
+  const __m512i two64 = _mm512_set1_epi64(2);
+  const __m512i three64 = _mm512_set1_epi64(3);
+  const __m512i v34_64 = _mm512_set1_epi64(34);
+  for (; i + 16 <= hi; i += 16) {
+    const __m512i uv = _mm512_loadu_si512(u + i);
+    const __m512i kv = _mm512_cvtepu8_epi32(
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(kseq + i)));
+    const __mmask16 klt31 = _mm512_cmplt_epu32_mask(kv, v31);
+    const __m512i q = _mm512_maskz_srlv_epi32(klt31, uv, kv);
+    const __m512i k1 = _mm512_add_epi32(kv, one32);
+    const __m512i qa = _mm512_cvtepu32_epi64(_mm512_castsi512_si256(q));
+    const __m512i qb = _mm512_cvtepu32_epi64(_mm512_extracti64x4_epi64(q, 1));
+    const __m512i ka = _mm512_cvtepu32_epi64(_mm512_castsi512_si256(k1));
+    const __m512i kb = _mm512_cvtepu32_epi64(_mm512_extracti64x4_epi64(k1, 1));
+    const __m512i rice_a = _mm512_add_epi64(qa, ka);
+    const __m512i rice_b = _mm512_add_epi64(qb, kb);
+    rice_acc = _mm512_add_epi64(rice_acc, _mm512_add_epi64(rice_a, rice_b));
+
+    const __mmask16 uz = _mm512_cmpeq_epu32_mask(uv, zero);
+    const __mmask16 usmall = _mm512_cmple_epu32_mask(uv, four32);
+    __m512i bin_a = _mm512_add_epi64(rice_a, two64);
+    __m512i bin_b = _mm512_add_epi64(rice_b, two64);
+    bin_a = _mm512_mask_mov_epi64(bin_a, static_cast<__mmask8>(usmall), three64);
+    bin_b = _mm512_mask_mov_epi64(bin_b, static_cast<__mmask8>(usmall >> 8), three64);
+    bin_a = _mm512_mask_mov_epi64(bin_a, static_cast<__mmask8>(uz), two64);
+    bin_b = _mm512_mask_mov_epi64(bin_b, static_cast<__mmask8>(uz >> 8), two64);
+    bin_acc = _mm512_add_epi64(bin_acc, _mm512_add_epi64(bin_a, bin_b));
+
+    const __m512i esc_shift =
+        _mm512_min_epu32(_mm512_add_epi32(kv, three32), v24);
+    const __m512i thr = _mm512_sllv_epi32(one32, esc_shift);
+    const __mmask16 esc = _mm512_cmpgt_epu32_mask(uv, thr);
+    const __mmask16 ncov = _mm512_cmpeq_epu32_mask(
+        _mm512_cvtepu8_epi32(
+            _mm_loadu_si128(reinterpret_cast<const __m128i*>(covered + i))),
+        zero);
+    __m512i zr_a = _mm512_add_epi64(rice_a, two64);
+    __m512i zr_b = _mm512_add_epi64(rice_b, two64);
+    zr_a = _mm512_mask_mov_epi64(zr_a, static_cast<__mmask8>(esc), v34_64);
+    zr_b = _mm512_mask_mov_epi64(zr_b, static_cast<__mmask8>(esc >> 8), v34_64);
+    zr_a = _mm512_maskz_mov_epi64(static_cast<__mmask8>(ncov), zr_a);
+    zr_b = _mm512_maskz_mov_epi64(static_cast<__mmask8>(ncov >> 8), zr_b);
+    zr_acc = _mm512_add_epi64(zr_acc, _mm512_add_epi64(zr_a, zr_b));
+  }
+  mc.rice += static_cast<uint64_t>(_mm512_reduce_add_epi64(rice_acc));
+  mc.bin += static_cast<uint64_t>(_mm512_reduce_add_epi64(bin_acc));
+  mc.zr_esc += static_cast<uint64_t>(_mm512_reduce_add_epi64(zr_acc));
+#endif
+  for (; i < hi; ++i) {
+    const uint32_t uu = u[i];
+    const uint32_t k = kseq[i];
+    const uint32_t q = (k >= 31u) ? 0u : (uu >> k);
+    const uint64_t rice_per = static_cast<uint64_t>(q) + 1 + k;
+    mc.rice += rice_per;
+    mc.bin += (uu == 0) ? 2 : ((uu <= 4) ? 3 : 2 + rice_per);
+    if (!covered[i]) {
+      const uint32_t esc_shift = (k + 3u > 24u) ? 24u : k + 3u;
+      mc.zr_esc += 2 + ((uu > (1u << esc_shift)) ? 32 : rice_per);
+    }
+  }
+}
+
+// per-lane scratch shared across candidates (sized once per worker)
+struct PlanScratch {
+  std::vector<int32_t> res, win, last_nz, next_nz;
+  std::vector<uint32_t> u, uwin, runlen;
+  std::vector<uint8_t> kseq, covered;
+  std::vector<uint64_t> psum;  // (n + 1) x 16, i-major
+  explicit PlanScratch(uint32_t n)
+      : res(n), win(n), last_nz(n), next_nz(n), u(n), uwin(n), runlen(n),
+        kseq(n), covered(n), psum((static_cast<size_t>(n) + 1) * 16) {}
+};
+
+// one full-block scoring pass: initial/static k sweeps (SIMD), the
+// serial stateful-k recurrence recording the per-sample k sequence and
+// zero-run coverage, then the vectorized per-sample mode costs.
+void score_candidate(const int32_t* res, uint32_t n, CandScore& s, PlanScratch& scr) {
+  uint32_t* u = scr.u.data();
+  uint8_t* kseq = scr.kseq.data();
+  uint8_t* covered = scr.covered.data();
+  uint32_t* runlen = scr.runlen.data();
+  zigzag_fill(res, n, u);
+
+  const uint32_t scan = n < kInitialScan ? n : kInitialScan;
+  uint64_t sums[16] = {0};
+  ksweep16(u, 0, scan, sums);
   uint64_t best = ~0ULL;
   for (uint32_t k = 0; k <= kInitialMaxK; ++k) {
-    const uint64_t c = head[k] + static_cast<uint64_t>(1 + k) * scan;
+    const uint64_t c = sums[k] + static_cast<uint64_t>(1 + k) * scan;
     if (c < best) { best = c; s.initial_k = k; }
   }
+  ksweep16(u, scan, n, sums);  // sums are now full-block totals
   best = ~0ULL;
   for (uint32_t k = 0; k <= kMaxStaticK; ++k) {
-    const uint64_t c = stat[k] + static_cast<uint64_t>(1 + k) * n;
+    const uint64_t c = sums[k] + static_cast<uint64_t>(1 + k) * n;
     if (c < best) { best = c; s.static_k = k; }
   }
   s.static_bits = best;
@@ -1324,18 +1501,15 @@ void score_candidate(const int32_t* res, uint32_t n, CandScore& s, uint32_t* run
     runlen[i] = run;
   }
 
+  // serial adaptation pass: k sequence + run tokens/coverage only
   AdaptK st;
   uint64_t sum = 0;
   uint32_t k = s.initial_k;
   bool in_long_run = false;  // current sample covered by a run token
   for (uint32_t i = 0; i < n; ++i) {
-    const uint32_t u = zigzag_u(res[i]);
-    const uint32_t q = (k >= 31u) ? 0u : (u >> k);
-    const uint64_t rice_per = static_cast<uint64_t>(q) + 1 + k;
-    s.rice_bits += rice_per;
-    const int32_t v = res[i];
-    s.bin_bits += (v == 0) ? 2 : ((v >= -2 && v <= 2) ? 3 : 2 + rice_per);
-    if (v == 0) {
+    kseq[i] = static_cast<uint8_t>(k);
+    uint8_t cov = 0;
+    if (res[i] == 0) {
       if (i == 0 || res[i - 1] != 0) {  // run start: runlen[i] is the full length
         in_long_run = runlen[i] >= kZrMinRun;
         if (in_long_run) {
@@ -1343,18 +1517,20 @@ void score_candidate(const int32_t* res, uint32_t n, CandScore& s, uint32_t* run
           s.has_run = true;
         }
       }
-      if (!in_long_run) {
-        const uint32_t esc_shift = (k + 3u > 24u) ? 24u : k + 3u;
-        s.zr_bits += 2 + ((u > (1u << esc_shift)) ? 32 : rice_per);
-      }
+      cov = in_long_run;
     } else {
       in_long_run = false;
-      const uint32_t esc_shift = (k + 3u > 24u) ? 24u : k + 3u;
-      s.zr_bits += 2 + ((u > (1u << esc_shift)) ? 32 : rice_per);
     }
-    sum += u;
+    covered[i] = cov;
+    sum += u[i];
     k = adapt_stateful(st, sum, i + 1);
   }
+
+  ModeCosts mc;
+  cost_pass(u, kseq, covered, 0, n, mc);
+  s.rice_bits = mc.rice;
+  s.bin_bits = mc.bin;
+  s.zr_bits += mc.zr_esc;
 }
 
 }  // namespace
@@ -1379,11 +1555,15 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
 
   auto worker = [&]() {
     tc_note();
-    std::vector<int32_t> res(n), win(n);
-    std::vector<uint32_t> runlen(n);
-    std::vector<int32_t> last_nz(n), next_nz(n);
-    std::vector<uint64_t> psum((kMaxStaticK + 1) * (static_cast<uint64_t>(n) + 1));
-    std::vector<uint32_t> uwin(n);
+    PlanScratch scr(n);
+    int32_t* const res = scr.res.data();
+    int32_t* const win = scr.win.data();
+    int32_t* const last_nz = scr.last_nz.data();
+    int32_t* const next_nz = scr.next_nz.data();
+    uint32_t* const uwin = scr.uwin.data();
+    uint8_t* const kseq = scr.kseq.data();
+    uint8_t* const covered = scr.covered.data();
+    uint64_t* const psum = scr.psum.data();
     while (true) {
       const uint32_t b = next.fetch_add(1, std::memory_order_relaxed);
       if (b >= B) return;
@@ -1396,15 +1576,15 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
       for (uint32_t c = 0; c < kNumCand; ++c) {
         if (c < kLpcBase) {
           compute_residual(x, n, kCandPtype[c], c < kNumFixed ? c : 2,
-                           nullptr, res.data());
+                           nullptr, res);
         } else {
           const uint32_t li = c - kLpcBase;
           if (!lpc_valid[li * B + b]) continue;
           const int16_t* co = lpc_coeffs + (static_cast<uint64_t>(li) * B + b) * 13;
-          const bool ok = lpc_residual_checked(x, n, co, 12, res.data());
+          const bool ok = lpc_residual_checked(x, n, co, 12, res);
           if (!ok) { in_range = false; continue; }
         }
-        score_candidate(res.data(), n, sc[c], runlen.data());
+        score_candidate(res, n, sc[c], scr);
         const uint64_t zr_eff =
             (zero_run_enabled && sc[c].has_run) ? sc[c].zr_bits : sc[c].rice_bits;
         uint64_t bits = sc[c].rice_bits;
@@ -1425,11 +1605,11 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
       // winner residual + whole-block (p = 0) mode choice
       if (sel < kLpcBase) {
         compute_residual(x, n, kCandPtype[sel], sel < kNumFixed ? sel : 2,
-                         nullptr, win.data());
+                         nullptr, win);
       } else {
         const uint32_t li = sel - kLpcBase;
         lpc_residual_checked(x, n, lpc_coeffs + (static_cast<uint64_t>(li) * B + b) * 13,
-                             12, win.data());
+                             12, win);
       }
       const CandScore& ws = sc[sel];
       const bool allow_zr = zero_run_enabled && ws.has_run;
@@ -1446,12 +1626,8 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
       if (max_p == 0) continue;
 
       // winner precomputations shared by every sweep stage
-      for (uint32_t i = 0; i < n; ++i) uwin[i] = zigzag_u(win[i]);
-      for (uint32_t k = 0; k <= kMaxStaticK; ++k) {
-        uint64_t* ps = psum.data() + static_cast<uint64_t>(k) * (n + 1);
-        ps[0] = 0;
-        for (uint32_t i = 0; i < n; ++i) ps[i + 1] = ps[i] + (uwin[i] >> k);
-      }
+      zigzag_fill(win, n, uwin);
+      psum_build(uwin, n, psum);
       {
         int32_t last = -static_cast<int32_t>(n) - 2;
         for (uint32_t i = 0; i < n; ++i) {
@@ -1474,59 +1650,58 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
           const uint32_t s0 = pi * base_sz;
           const uint32_t e0 = (pi + 1 == nparts) ? n : s0 + base_sz;
           const uint32_t len = e0 - s0;
-          // head/static k from the prefix sums
+          // head/static k from the prefix-sum rows
           const uint32_t hs = len < kInitialScan ? len : kInitialScan;
+          const uint64_t* row_s0 = psum + static_cast<size_t>(s0) * 16;
+          const uint64_t* row_hs = psum + static_cast<size_t>(s0 + hs) * 16;
+          const uint64_t* row_e0 = psum + static_cast<size_t>(e0) * 16;
           uint64_t bestc = ~0ULL;
           uint32_t init_k = 0;
           for (uint32_t k = 0; k <= kInitialMaxK; ++k) {
-            const uint64_t* ps = psum.data() + static_cast<uint64_t>(k) * (n + 1);
-            const uint64_t c = ps[s0 + hs] - ps[s0] + static_cast<uint64_t>(1 + k) * hs;
+            const uint64_t c = row_hs[k] - row_s0[k] + static_cast<uint64_t>(1 + k) * hs;
             if (c < bestc) { bestc = c; init_k = k; }
           }
           bestc = ~0ULL;
           uint32_t static_k = 0;
           for (uint32_t k = 0; k <= kMaxStaticK; ++k) {
-            const uint64_t* ps = psum.data() + static_cast<uint64_t>(k) * (n + 1);
-            const uint64_t c = ps[e0] - ps[s0] + static_cast<uint64_t>(1 + k) * len;
+            const uint64_t c = row_e0[k] - row_s0[k] + static_cast<uint64_t>(1 + k) * len;
             if (c < bestc) { bestc = c; static_k = k; }
           }
           const uint64_t static_bits = bestc;
 
-          // stateless adaptive scan with partition-clamped run geometry
+          // serial stateless-k recurrence with partition-clamped run
+          // geometry; mode costs follow vectorized over the range
           MeanDiv md;
           uint64_t sum = 0;
           uint32_t k = init_k;
-          uint64_t rice_b = 0, bin_b = 0, zr_b = 0;
+          uint64_t zr_tok = 0;
           bool has_run = false;
           for (uint32_t i = s0; i < e0; ++i) {
-            const uint32_t u = uwin[i];
-            const uint32_t q = (k >= 31u) ? 0u : (u >> k);
-            const uint64_t rice_per = static_cast<uint64_t>(q) + 1 + k;
-            rice_b += rice_per;
-            const int32_t v = win[i];
-            bin_b += (v == 0) ? 2 : ((v >= -2 && v <= 2) ? 3 : 2 + rice_per);
-            if (v == 0) {
+            kseq[i] = static_cast<uint8_t>(k);
+            uint8_t cov = 0;
+            if (win[i] == 0) {
               const uint32_t run_first =
                   static_cast<uint32_t>(std::max(last_nz[i] + 1, static_cast<int32_t>(s0)));
               const uint32_t next_break = static_cast<uint32_t>(
                   std::min(next_nz[i], static_cast<int32_t>(e0)));
               const uint32_t rl = next_break - run_first;
               if (rl >= kZrMinRun) {
+                cov = 1;
                 if (i == run_first) {
-                  zr_b += 2 + ((rl - kZrMinRun) >> kZrLenK) + 1 + kZrLenK;
+                  zr_tok += 2 + ((rl - kZrMinRun) >> kZrLenK) + 1 + kZrLenK;
                   has_run = true;
                 }
-              } else {
-                const uint32_t esc_shift = (k + 3u > 24u) ? 24u : k + 3u;
-                zr_b += 2 + ((u > (1u << esc_shift)) ? 32 : rice_per);
               }
-            } else {
-              const uint32_t esc_shift = (k + 3u > 24u) ? 24u : k + 3u;
-              zr_b += 2 + ((u > (1u << esc_shift)) ? 32 : rice_per);
             }
-            sum += u;
+            covered[i] = cov;
+            sum += uwin[i];
             k = adapt_stateless_inc(md, sum, i - s0 + 1);
           }
+          ModeCosts mc;
+          cost_pass(uwin, kseq, covered, s0, e0, mc);
+          const uint64_t rice_b = mc.rice;
+          const uint64_t bin_b = mc.bin;
+          const uint64_t zr_b = zr_tok + mc.zr_esc;
 
           uint64_t bits = rice_b;
           uint32_t mode = 0, ksel = init_k;
@@ -1572,6 +1747,67 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
   }
   return 0;
 }
+
+// exact int64 autocorrelation lags 0..max_order per lane:
+// out[b, k] = sum_i x[b, i] * x[b, i-k]  (reference lpc.cpp:80-96; the
+// numpy twin is ops/lpc.py autocorrelation — exact for n <= 2^17 at
+// 24-bit inputs). AVX-512 8-wide int64 MACs with a scalar tail.
+// gcc's _mm512_undefined_epi32 trips -Wmaybe-uninitialized when the cvt
+// intrinsics inline into std::thread invokers (gcc PR105593 family);
+// silence that one false positive here.
+#pragma GCC diagnostic push
+#pragma GCC diagnostic ignored "-Wmaybe-uninitialized"
+int lac_autocorr(const int32_t* pcm,  // (B, n)
+                 uint32_t B,
+                 uint32_t n,
+                 uint32_t max_order,
+                 int64_t* out,  // (B, max_order + 1)
+                 int32_t num_threads) {
+  const uint32_t no = max_order + 1;
+  std::atomic<uint32_t> next{0};
+  auto worker = [&]() {
+    tc_note();
+    while (true) {
+      const uint32_t b = next.fetch_add(1, std::memory_order_relaxed);
+      if (b >= B) return;
+      const int32_t* x = pcm + static_cast<uint64_t>(b) * n;
+      int64_t* o = out + static_cast<uint64_t>(b) * no;
+      for (uint32_t k = 0; k < no; ++k) {
+        int64_t acc = 0;
+        uint32_t i = k;
+        if (k >= n) { o[k] = 0; continue; }
+#if defined(LAC_SIMD_LPC)
+        __m512i vacc = _mm512_setzero_si512();
+        for (; i + 8 <= n; i += 8) {
+          const __m512i a = _mm512_cvtepi32_epi64(
+              _mm256_loadu_si256(reinterpret_cast<const __m256i*>(x + i)));
+          const __m512i c = _mm512_cvtepi32_epi64(
+              _mm256_loadu_si256(reinterpret_cast<const __m256i*>(x + i - k)));
+          vacc = _mm512_add_epi64(vacc, _mm512_mullo_epi64(a, c));
+        }
+        acc = _mm512_reduce_add_epi64(vacc);
+#endif
+        for (; i < n; ++i) acc += static_cast<int64_t>(x[i]) * x[i - k];
+        o[k] = acc;
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (num_threads > 0 && static_cast<unsigned>(num_threads) < hw)
+    hw = static_cast<unsigned>(num_threads);
+  if (hw > B) hw = B;
+  if (hw <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(hw);
+    for (unsigned i = 0; i < hw; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return 0;
+}
+#pragma GCC diagnostic pop
 
 // ------------------------------------------------------- stereo estimate
 

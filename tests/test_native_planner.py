@@ -78,3 +78,24 @@ def test_planner_flags_overflow_lane():
     want = np.asarray(plan_group(pcm, coeffs, lvalid, n, True, True, np, emit_fields=False)["meta"])
     got = plan_blocks_native(pcm, coeffs, lvalid, True, True)
     np.testing.assert_array_equal(got, want)
+
+
+def test_autocorr_native_matches_numpy():
+    # exact int64 lags: the AVX-512 MAC kernel vs the numpy spec twin
+    # (ops/lpc.py autocorrelation; reference lpc.cpp:80-96), including
+    # 24-bit extremes, odd lengths, and lanes shorter than the lag count
+    from lac_tpu.runtime.native import autocorr_native
+
+    for n in (7, 13, 100, 4096, 16383):
+        sigs = _signals(max(n, 64), 31)
+        pcm = np.stack([s[:n] for s in sigs.values()])
+        want = lpc.autocorrelation(pcm, 12, xp=np)
+        got = autocorr_native(pcm, 12)
+        np.testing.assert_array_equal(got, want)
+    # k >= n: lags beyond the lane length are zero
+    short = np.array([[5, -3]], np.int32)
+    got = autocorr_native(short, 12)
+    want = np.zeros((1, 13), np.int64)
+    want[0, 0] = 34
+    want[0, 1] = -15
+    np.testing.assert_array_equal(got, want)
