@@ -53,6 +53,22 @@ inline uint64_t bits_remaining(const Reader& r) {
   return r.err ? 0 : r.size_bits - r.pos;
 }
 
+// big-endian 64-bit window starting at byte index `byte` (tail-safe:
+// bytes past the buffer read as zero, which callers never consume
+// because every path bounds itself by size_bits first)
+inline uint64_t be_window(const Reader& r, uint64_t byte) {
+  const uint64_t total_bytes = (r.size_bits + 7) >> 3;
+  if (byte + 8 <= total_bytes) {
+    uint64_t w;
+    std::memcpy(&w, r.data + byte, 8);
+    return __builtin_bswap64(w);
+  }
+  uint64_t w = 0;
+  for (uint64_t i = byte; i < total_bytes; ++i)
+    w |= static_cast<uint64_t>(r.data[i]) << (56 - 8 * (i - byte));
+  return w;
+}
+
 // read n bits MSB-first (n <= 57 so the 8-byte window always covers it)
 inline uint64_t read_bits(Reader& r, int n) {
   if (n <= 0) return 0;
@@ -60,55 +76,46 @@ inline uint64_t read_bits(Reader& r, int n) {
     r.err = true;
     return 0;
   }
-  const uint64_t byte = r.pos >> 3;
+  const uint64_t window = be_window(r, r.pos >> 3);
   const int off = static_cast<int>(r.pos & 7);
-  // assemble up to 8 bytes big-endian starting at `byte` (tail-safe)
-  uint64_t window = 0;
-  const uint64_t avail = (r.size_bits >> 3) + ((r.size_bits & 7) ? 1 : 0) - byte;
-  const int take = avail >= 8 ? 8 : static_cast<int>(avail);
-  for (int i = 0; i < take; ++i) window |= static_cast<uint64_t>(r.data[byte + i]) << (56 - 8 * i);
   const uint64_t out = (window << off) >> (64 - n);
   r.pos += static_cast<uint64_t>(n);
   return out;
 }
 
 // count leading 1 bits, consume the terminating 0; false on error or
-// count > max_ones (reference bit_reader.hpp:140-172)
+// count > max_ones (reference bit_reader.hpp:140-172). 64-bit strides:
+// leading ones of the shifted window = clz of its complement.
 inline bool read_unary_ones(Reader& r, uint32_t max_ones, uint32_t& count) {
   count = 0;
+  if (r.err || r.pos >= r.size_bits) {
+    r.err = true;
+    return false;
+  }
   while (true) {
-    if (r.err || r.pos >= r.size_bits) {
-      r.err = true;
-      return false;
-    }
-    const uint64_t byte = r.pos >> 3;
     const int off = static_cast<int>(r.pos & 7);
-    const uint8_t window = static_cast<uint8_t>(r.data[byte] << off);
-    const int avail = 8 - off;
-    // leading ones within this byte's remaining bits
-    int ones = 0;
-    uint8_t w = window;
-    while (ones < avail && (w & 0x80u)) {
-      ++ones;
-      w = static_cast<uint8_t>(w << 1);
-    }
+    // low `off` bits shift in as zeros; they sit past `avail` so the
+    // all-ones check below never reads them
+    const uint64_t window = be_window(r, r.pos >> 3) << off;
+    const uint64_t rem = r.size_bits - r.pos;
+    const uint32_t avail =
+        rem < static_cast<uint64_t>(64 - off) ? static_cast<uint32_t>(rem)
+                                              : static_cast<uint32_t>(64 - off);
+    const uint64_t inv = ~window;
+    const uint32_t ones = inv == 0 ? 64u : static_cast<uint32_t>(__builtin_clzll(inv));
     if (ones >= avail) {
-      // all remaining bits of the byte are ones — continue scanning
-      count += static_cast<uint32_t>(avail);
-      r.pos += static_cast<uint64_t>(avail);
-      if (count > max_ones) {
+      // every valid bit in the window is a one — keep scanning
+      count += avail;
+      r.pos += avail;
+      if (count > max_ones || r.pos >= r.size_bits) {
         r.err = true;
         return false;
       }
       continue;
     }
-    count += static_cast<uint32_t>(ones);
+    count += ones;
     r.pos += static_cast<uint64_t>(ones) + 1;  // consume the zero too
     if (count > max_ones) {
-      r.err = true;
-      return false;
-    }
-    if (r.pos > r.size_bits) {
       r.err = true;
       return false;
     }
@@ -134,6 +141,26 @@ inline int32_t zigzag_decode(uint32_t u) {
 
 inline bool read_rice_u(Reader& r, uint32_t k, uint32_t& value) {
   if (k > 31u) return false;
+  // fast path: the whole token (q ones, the zero, k remainder bits)
+  // inside one 64-bit window — one load, no second read_bits
+  if (!r.err && r.pos < r.size_bits) {
+    const int off = static_cast<int>(r.pos & 7);
+    const uint64_t window = be_window(r, r.pos >> 3) << off;
+    const uint64_t inv = ~window;
+    const uint32_t ones = inv == 0 ? 64u : static_cast<uint32_t>(__builtin_clzll(inv));
+    const uint64_t tok_bits = static_cast<uint64_t>(ones) + 1 + k;
+    if (tok_bits + off <= 64 && r.pos + tok_bits <= r.size_bits) {
+      if (ones > (0xFFFFFFFFu >> k)) {  // canonical q cap (q << k fits u32)
+        r.err = true;
+        return false;
+      }
+      const uint32_t rem =
+          k ? static_cast<uint32_t>((window << (ones + 1)) >> (64 - k)) : 0u;
+      r.pos += tok_bits;
+      value = (ones << k) | rem;
+      return true;
+    }
+  }
   uint32_t q = 0;
   if (!read_unary_ones(r, 0xFFFFFFFFu >> k, q)) return false;
   uint32_t rem = 0;
