@@ -240,72 +240,25 @@ def emit(result):
     print(json.dumps(result), flush=True)
 
 
-def main():
-    left, right = make_corpus()
-    ref_bytes, ref_fps = bench_reference(left, right)
-    if ref_fps is None:
-        try:
-            ref_fps = json.loads(BASELINE_FILE.read_text())["reference_frames_per_s"]
-        except Exception:
-            ref_fps = None
-
-    # guaranteed fallback FIRST: the native host path loads no device
-    # executables, so it always produces an honest parity-gated number
-    # in seconds — the device path's per-process executable load through
-    # the dev tunnel has been observed anywhere from ~100 s to ~520 s
-    # depending on tunnel state, which can exceed the driver's budget.
-    nat_bs, nat_fps = bench_native(left, right)
-    if ref_bytes is not None and ref_bytes != nat_bs:
-        emit({"metric": "encode_throughput", "value": 0.0, "unit": "frames/s",
-              "vs_baseline": 0.0, "error": "native-path bitstream parity FAILED"})
-        return 1
-
-    # device (warm serving) path behind a FORKED dead-man's switch: the
-    # per-process executable load through the dev tunnel has measured
-    # anywhere from ~60 s to >500 s, and a wedged tunnel can block the
-    # parent inside a C call (GIL held — an in-process watchdog thread
-    # would starve). The child shares stdout, holds the native-path
-    # headline, and prints it itself if the parent hasn't reported in
-    # by the deadline — so the driver ALWAYS sees a parseable line.
-    vs_nat = (nat_fps / ref_fps) if ref_fps else None
-    nat_result = {
-        "metric": "encode_throughput",
-        "value": round(nat_fps, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(vs_nat, 3) if vs_nat else None,
-        "path": "native-fallback",
-        "note": "device path did not finish in budget; see docs/benchmarks.md",
-    }
-    floor = max(45.0, 0.15 * BUDGET_S)
-    rfd, wfd = os.pipe()
-    pid = os.fork()
-    if pid == 0:  # child: no jax, just the deadline
-        os.close(wfd)
-        import select
-
-        deadline = max(remaining() - floor, 1.0)
-        ready, _, _ = select.select([rfd], [], [], deadline)
-        if not ready:
-            sys.stdout.write(json.dumps(nat_result) + "\n")
-            sys.stdout.flush()
-        os._exit(0)
-    os.close(rfd)
+def device_child(td):
+    """Child-process entry: the ENTIRE device path (warm serving encode,
+    decode + long-file extras) runs here, isolated from the parent. A
+    wedged tunnel (the axon backend init has been observed to block
+    forever inside a C call) wedges only this process, which the parent
+    can SIGKILL. Prints JSON result dicts to stdout (a pipe the parent
+    reads and re-emits); everything else goes to stderr."""
+    dat = np.load(f"{td}/corpus.npz")
+    left, right = dat["left"], dat["right"]
+    meta = json.loads(open(f"{td}/meta.json").read())
+    ref_fps = meta.get("ref_fps")
+    ref_path = pathlib.Path(f"{td}/ref.lac")
+    ref_bytes = ref_path.read_bytes() if ref_path.exists() else None
 
     try:
         enc, bitstream, ours_fps = bench_ours(left, right)
     except Exception as e:
-        os.close(wfd)  # let the child fire the native headline now...
-        time.sleep(0.5)
-        os.waitpid(pid, 0)
-        nat_result["device_error"] = repr(e)
-        emit(nat_result)  # ...and also emit it with the error attached
+        emit({"device_error": repr(e)})
         return 0
-    try:
-        os.write(wfd, b"x")  # device result in hand: stand the child down
-        os.close(wfd)
-    except OSError:
-        pass  # child already fired the fallback line and exited
-    os.waitpid(pid, 0)
     if ref_bytes is not None and ref_bytes != bitstream:
         emit({"metric": "encode_throughput", "value": 0.0, "unit": "frames/s",
               "vs_baseline": 0.0, "error": "bitstream parity FAILED"})
@@ -351,6 +304,119 @@ def main():
         result["long_skipped"] = "budget"
     if enriched:
         emit(result)  # final enriched line (superset of the headline keys)
+    return 0
+
+
+def _read_child_results(proc, headline_floor_s):
+    """Read JSON lines from the child's stdout pipe, re-emitting result
+    dicts (those with a "metric" key) to our stdout THE MOMENT they
+    arrive. Returns the list of parsed dicts. The child gets until
+    `headline_floor_s` of budget remains for its FIRST result; once one
+    arrives the deadline extends to nearly the whole budget for extras."""
+    import select
+
+    fd = proc.stdout.fileno()
+    buf = b""
+    results = []
+    floor = headline_floor_s
+    while True:
+        tleft = remaining() - floor
+        if tleft <= 0:
+            break
+        ready, _, _ = select.select([fd], [], [], tleft)
+        if not ready:
+            break
+        chunk = os.read(fd, 1 << 16)
+        if not chunk:
+            break  # EOF: child exited
+        buf += chunk
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue  # stray non-JSON output: ignore
+            if isinstance(obj, dict):
+                results.append(obj)
+                if "metric" in obj:
+                    emit(obj)  # never lost, even if we die later
+                floor = 10.0  # extras may run to near-budget
+    return results
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--device-child":
+        return device_child(sys.argv[2])
+
+    left, right = make_corpus()
+    ref_bytes, ref_fps = bench_reference(left, right)
+    if ref_fps is None:
+        try:
+            ref_fps = json.loads(BASELINE_FILE.read_text())["reference_frames_per_s"]
+        except Exception:
+            ref_fps = None
+
+    # guaranteed fallback FIRST: the native host path loads no device
+    # executables (encoder._cold_route pins xp=np), so it always produces
+    # an honest parity-gated number in seconds, even with the tunnel to
+    # the device completely wedged.
+    nat_bs, nat_fps = bench_native(left, right)
+    if ref_bytes is not None and ref_bytes != nat_bs:
+        emit({"metric": "encode_throughput", "value": 0.0, "unit": "frames/s",
+              "vs_baseline": 0.0, "error": "native-path bitstream parity FAILED"})
+        return 1
+    vs_nat = (nat_fps / ref_fps) if ref_fps else None
+    nat_result = {
+        "metric": "encode_throughput",
+        "value": round(nat_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(vs_nat, 3) if vs_nat else None,
+        "path": "native-fallback",
+        "note": "device path did not finish in budget; see docs/benchmarks.md",
+    }
+
+    # device (warm serving) path in a SUBPROCESS: per-process executable
+    # loads through the dev tunnel measure anywhere from ~60 s to wedged-
+    # forever (backend init blocking in a C call — a fork()ed watchdog in
+    # this multi-threaded process deadlocked in practice, and an in-process
+    # thread would starve on the held GIL). A fresh child process has
+    # neither problem, and a wedged child dies to SIGKILL. The parent —
+    # which never touches the device — always emits a parseable line.
+    floor = max(45.0, 0.15 * BUDGET_S)
+    results = []
+    if os.environ.get("LAC_BENCH_NO_DEVICE") != "1" and remaining() > floor + 30:
+        with tempfile.TemporaryDirectory() as td:
+            np.savez(f"{td}/corpus.npz", left=left, right=right)
+            open(f"{td}/meta.json", "w").write(json.dumps({"ref_fps": ref_fps}))
+            if ref_bytes is not None:
+                open(f"{td}/ref.lac", "wb").write(ref_bytes)
+            env = dict(os.environ, LAC_BENCH_BUDGET_S=str(max(remaining() - 15.0, 1.0)))
+            proc = subprocess.Popen(
+                [sys.executable, "-u", os.path.abspath(__file__), "--device-child", td],
+                stdout=subprocess.PIPE, env=env,
+            )
+            try:
+                results = _read_child_results(proc, floor)
+            finally:
+                if proc.poll() is None:
+                    proc.kill()
+                proc.wait()
+
+    headline = [r for r in results if "metric" in r]
+    if headline:  # already emitted on arrival by _read_child_results
+        return 1 if any(r.get("error") for r in headline) else 0
+
+    # no device result inside the budget: the native line is the record,
+    # enriched with the (device-independent) native decode numbers
+    errs = [r["device_error"] for r in results if "device_error" in r]
+    if errs:
+        nat_result["device_error"] = errs[0]
+    if remaining() > 20 and os.environ.get("LAC_BENCH_SKIP_DECODE") != "1":
+        dec_fps, dec_ref = bench_decode(nat_bs)
+        nat_result["decode_value"] = round(dec_fps, 1)
+        if dec_ref:
+            nat_result["decode_vs_baseline"] = round(dec_fps / dec_ref, 3)
+    emit(nat_result)
     return 0
 
 
