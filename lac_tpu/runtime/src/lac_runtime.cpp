@@ -174,39 +174,23 @@ inline bool read_rice_u(Reader& r, uint32_t k, uint32_t& value) {
 
 // ------------------------------------------------------------- adaptation
 
-// Exact incremental floor-mean: maintains mean = floor(num/count) and
-// rem = num - mean*count across (num, count) updates where count grows
-// by 1 per step. The rolling mean moves slowly, so a couple of add/cmp
-// steps replace the u64 division that otherwise dominates the serial
-// emit/decode loops; a real division is the fallback for jumps.
-struct MeanDiv {
-  uint64_t mean = 0;
-  uint64_t prev_num = 0;
-  int64_t rem = 0;  // invariant: 0 <= rem < count after update()
+// Incremental k tracker. The adapters never need the mean's VALUE —
+// only which k-bucket floor(num/count) falls in: k = 0 iff mean <= 1,
+// k in [1,30] iff 2^(k-1) < mean <= 2^k, k = 31 iff mean > 2^30
+// (k_from_mean below is the spec). Each bucket test cross-multiplies
+// into `num vs (count << k) + count`, so the per-sample update is two
+// shift+add compares on rarely-taken branches — no division and no
+// serial remainder chain (k itself barely moves). Count jumps (zero-run
+// bulk skips) just walk the boundary at most 31 steps.
+struct KTrack {
+  uint32_t k = 0;
 
-  inline uint64_t update(uint64_t num, uint32_t count) {
-    int64_t r = rem + static_cast<int64_t>(num - prev_num) - static_cast<int64_t>(mean);
-    prev_num = num;
-    const int64_t c = static_cast<int64_t>(count);
-    int spins = 4;
-    while (r >= c && spins-- > 0) { r -= c; ++mean; }
-    while (r < 0 && spins-- > 0) { r += c; --mean; }
-    if (r < 0 || r >= c) {  // far jump: one real division resyncs
-      mean = (num <= 0xFFFFFFFFull) ? (static_cast<uint32_t>(num) / count)
-                                    : (num / count);
-      r = static_cast<int64_t>(num - mean * count);
-    }
-    rem = r;
-    return mean;
-  }
-
-  // count jumped by more than 1 (zero-run bulk skip): resync by division
-  inline uint64_t resync(uint64_t num, uint32_t count) {
-    prev_num = num;
-    mean = (num <= 0xFFFFFFFFull) ? (static_cast<uint32_t>(num) / count)
-                                  : (num / count);
-    rem = static_cast<int64_t>(num - mean * count);
-    return mean;
+  inline uint32_t update(uint64_t num, uint64_t count) {
+    // ascend while floor(num/count) >= 2^k + 1
+    while (k < 31u && num >= (count << k) + count) ++k;
+    // descend while floor(num/count) <= 2^(k-1)
+    while (k > 0u && num < (count << (k - 1)) + count) --k;
+    return k;
   }
 };
 
@@ -216,7 +200,7 @@ struct AdaptK {
   uint32_t widx = 0, midx = 0, filled = 0;
   uint64_t wsum = 0;
   int32_t large = 0, zero = 0;
-  MeanDiv meandiv;
+  KTrack ktrack;
   uint32_t recent[256];
   uint8_t lflags[96], zflags[96];
   AdaptK() {
@@ -243,8 +227,8 @@ inline uint32_t adapt_stateful(AdaptK& st, uint64_t sum, uint32_t count) {
   }
   st.recent[st.widx] = static_cast<uint32_t>(cur);
   st.wsum += cur;
-  const uint64_t mean = st.meandiv.update(sum + (count >> 1), count);
-  const uint32_t k = (mean <= 1) ? 0u : (bitwidth64(mean - 1) > 31u ? 31u : bitwidth64(mean - 1));
+  const uint64_t num = sum + (count >> 1);
+  const uint32_t k = st.ktrack.update(num, count);
   const uint32_t qb = (k >= 31u) ? 0u : static_cast<uint32_t>(cur >> k);
   const uint8_t il = qb > 3u, iz = qb == 0u;
   st.large += il;
@@ -252,14 +236,19 @@ inline uint32_t adapt_stateful(AdaptK& st, uint64_t sum, uint32_t count) {
   st.lflags[st.midx] = il;
   st.zflags[st.midx] = iz;
   int32_t bias = 0;
-  if (st.filled > 0 && mean > 0) {
+  // spec: mean = floor(num / count); compare lm against it WITHOUT the
+  // division by cross-multiplying (floor(num/count) < t <=> num < t*count,
+  // floor(num/count) >= t <=> num >= t*count, t a non-negative integer):
+  //   lm*3 > mean*4   <=> mean <= (3*lm - 1)/4       (impossible for lm == 0)
+  //   lm*4+3 < mean*3 <=> mean >= ceil((4*lm + 4)/3) == (4*lm + 6)/3
+  if (st.filled > 0 && num >= count) {  // mean > 0
     const uint64_t lnum = st.wsum + (st.filled >> 1);
     const uint64_t lm = (st.filled == 256) ? ((st.wsum + 128) >> 8)
                         : (lnum <= 0xFFFFFFFFull)
                             ? (static_cast<uint32_t>(lnum) / st.filled)
                             : (lnum / st.filled);
-    if (lm * 3 > mean * 4) bias = 1;
-    else if (lm * 4 + 3 < mean * 3) bias = -1;
+    if (lm != 0 && num < ((3 * lm - 1) / 4 + 1) * count) bias = 1;
+    else if (num >= ((4 * lm + 6) / 3) * count) bias = -1;
   }
   if (st.widx + 1 >= 96 || st.filled >= 96) {
     const uint32_t ws = st.filled >= 96 ? 96 : st.filled;
@@ -288,11 +277,11 @@ inline uint32_t adapt_stateless(uint64_t sum, uint32_t count) {
   return k_from_mean(mean);
 }
 
-// incremental stateless adapter: one MeanDiv per partition replaces the
+// incremental stateless adapter: one KTrack per partition replaces the
 // per-sample division (identical results; adapt_stateless is the spec)
-inline uint32_t adapt_stateless_inc(MeanDiv& md, uint64_t sum, uint32_t count) {
+inline uint32_t adapt_stateless_inc(KTrack& kt, uint64_t sum, uint32_t count) {
   if (count == 0) return 0;
-  return k_from_mean(md.update(sum + (count >> 1), count));
+  return kt.update(sum + (count >> 1), count);
 }
 
 // ------------------------------------------------------- residual decode
@@ -305,7 +294,7 @@ bool decode_segment(Reader& r, uint32_t samples, uint32_t initial_k, uint32_t mo
   uint32_t k = initial_k;
   uint64_t sum = 0;
   uint32_t count = 0;
-  MeanDiv md;
+  KTrack md;
   auto step = [&](uint32_t u) {
     sum += u;
     ++count;
@@ -340,7 +329,7 @@ bool decode_segment(Reader& r, uint32_t samples, uint32_t initial_k, uint32_t mo
         idx += run;
         if (stateless) {
           count += run;
-          k = k_from_mean(md.resync(sum + (count >> 1), count));
+          k = md.update(sum + (count >> 1), count);
         } else {
           for (uint32_t j = 0; j < run; ++j) {
             ++count;
@@ -1013,7 +1002,7 @@ void emit_partition(BitSink& w, const int32_t* res, uint32_t len, uint32_t mode,
   uint64_t sum = 0;
   uint32_t count = 0;
   AdaptK st;
-  MeanDiv md;
+  KTrack md;
   auto step = [&](uint32_t u) {
     sum += u;
     ++count;
@@ -1035,7 +1024,7 @@ void emit_partition(BitSink& w, const int32_t* res, uint32_t len, uint32_t mode,
         rice_emit(w, run - kZrMinRun, kZrLenK);
         if (stateless) {
           count += run;
-          k = k_from_mean(md.resync(sum + (count >> 1), count));
+          k = md.update(sum + (count >> 1), count);
         } else {
           for (uint32_t j = 0; j < run; ++j) {
             ++count;
@@ -1698,7 +1687,7 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
 
           // serial stateless-k recurrence with partition-clamped run
           // geometry; mode costs follow vectorized over the range
-          MeanDiv md;
+          KTrack md;
           uint64_t sum = 0;
           uint32_t k = init_k;
           uint64_t zr_tok = 0;
