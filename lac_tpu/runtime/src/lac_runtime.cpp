@@ -1473,6 +1473,53 @@ inline void cost_pass(const uint32_t* u, const uint8_t* kseq, const uint8_t* cov
   }
 }
 
+// Exact lower bound on a candidate's best-mode bit cost, computable
+// without the serial adaptation pass. Per sample with u = zigzag(res):
+//   u == 0  -> 0   (zero-run coverage can make zeros nearly free)
+//   u == 1  -> 2   (rice floor: min_k (u>>k)+1+k = 1 + bitwidth(u))
+//   u <= 4  -> 3   (bin mode pays a flat 3 for 0 < u <= 4)
+//   else    -> 1 + min(bitwidth(u), 31)   (k >= 31 forces q = 0: cost 32)
+// Every mode's true per-sample cost is >= this (rice/static/bin/zero-run,
+// incl. run tokens and escapes), so sum(lb) <= min over modes of the
+// exact cost that score_candidate would compute.
+inline uint64_t residual_cost_lb(const int32_t* res, uint32_t n) {
+  uint64_t total = 0;
+  uint32_t i = 0;
+#if defined(LAC_SIMD_LPC) && defined(__AVX512CD__)
+  __m512i acc = _mm512_setzero_si512();
+  const __m512i one = _mm512_set1_epi32(1);
+  const __m512i three = _mm512_set1_epi32(3);
+  const __m512i four = _mm512_set1_epi32(4);
+  const __m512i v31 = _mm512_set1_epi32(31);
+  const __m512i v32 = _mm512_set1_epi32(32);
+  for (; i + 16 <= n; i += 16) {
+    const __m512i v = _mm512_loadu_si512(res + i);
+    const __m512i u =
+        _mm512_xor_si512(_mm512_slli_epi32(v, 1), _mm512_srai_epi32(v, 31));
+    const __mmask16 nz = _mm512_test_epi32_mask(u, u);
+    const __m512i bw = _mm512_sub_epi32(v32, _mm512_lzcnt_epi32(u));
+    __m512i per = _mm512_add_epi32(_mm512_min_epu32(bw, v31), one);
+    const __mmask16 small = _mm512_cmple_epu32_mask(u, four);
+    per = _mm512_mask_min_epu32(per, small, per, three);
+    per = _mm512_maskz_mov_epi32(nz, per);
+    acc = _mm512_add_epi64(
+        acc, _mm512_add_epi64(
+                 _mm512_cvtepu32_epi64(_mm512_castsi512_si256(per)),
+                 _mm512_cvtepu32_epi64(_mm512_extracti64x4_epi64(per, 1))));
+  }
+  total += static_cast<uint64_t>(_mm512_reduce_add_epi64(acc));
+#endif
+  for (; i < n; ++i) {
+    const uint32_t u = zigzag_u(res[i]);
+    if (u == 0) continue;
+    const uint32_t bw = 32u - static_cast<uint32_t>(__builtin_clz(u));
+    uint32_t per = 1u + (bw > 31u ? 31u : bw);
+    if (u <= 4u && per > 3u) per = 3u;
+    total += per;
+  }
+  return total;
+}
+
 // per-lane scratch shared across candidates (sized once per worker)
 struct PlanScratch {
   std::vector<int32_t> res, win, last_nz, next_nz;
@@ -1587,19 +1634,52 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
 
       CandScore sc[kNumCand];
       bool in_range = true;
-      uint64_t best_key = ~0ULL;
-      uint32_t sel = 0;
-      for (uint32_t c = 0; c < kNumCand; ++c) {
+
+      // phase 1: residual validity + exact lower bounds for every
+      // candidate (one SIMD pass each, no serial adaptation)
+      auto make_residual = [&](uint32_t c, int32_t* dst) -> int {
         if (c < kLpcBase) {
           compute_residual(x, n, kCandPtype[c], c < kNumFixed ? c : 2,
-                           nullptr, res);
-        } else {
-          const uint32_t li = c - kLpcBase;
-          if (!lpc_valid[li * B + b]) continue;
-          const int16_t* co = lpc_coeffs + (static_cast<uint64_t>(li) * B + b) * 13;
-          const bool ok = lpc_residual_checked(x, n, co, 12, res);
-          if (!ok) { in_range = false; continue; }
+                           nullptr, dst);
+          return 1;
         }
+        const uint32_t li = c - kLpcBase;
+        if (!lpc_valid[li * B + b]) return 0;
+        const int16_t* co = lpc_coeffs + (static_cast<uint64_t>(li) * B + b) * 13;
+        return lpc_residual_checked(x, n, co, 12, dst) ? 1 : -1;
+      };
+      uint64_t lb[kNumCand];
+      uint8_t usable[kNumCand];
+      for (uint32_t c = 0; c < kNumCand; ++c) {
+        const int st_r = make_residual(c, res);
+        usable[c] = st_r == 1;
+        if (st_r == -1) in_range = false;
+        lb[c] = usable[c] ? residual_cost_lb(res, n) : ~0ULL;
+      }
+      // bound-ascending order (stable in c)
+      uint32_t order[kNumCand];
+      for (uint32_t c = 0; c < kNumCand; ++c) order[c] = c;
+      for (uint32_t a = 1; a < kNumCand; ++a) {
+        const uint32_t v = order[a];
+        uint32_t j = a;
+        for (; j > 0 && (lb[order[j - 1]] > lb[v] ||
+                         (lb[order[j - 1]] == lb[v] && order[j - 1] > v)); --j)
+          order[j] = order[j - 1];
+        order[j] = v;
+      }
+
+      // phase 2: full scoring, cheapest bound first, branch-and-bound.
+      // A candidate whose bound alone exceeds the best key can never
+      // win (key = bits*4 + ptype >= bits*4 >= lb*4), so the serial
+      // adaptation pass is skipped for it. Ties keep the smallest
+      // candidate index, exactly as the plain ascending loop selects.
+      uint64_t best_key = ~0ULL;
+      uint32_t sel = 0;
+      for (uint32_t ci = 0; ci < kNumCand; ++ci) {
+        const uint32_t c = order[ci];
+        if (!usable[c]) break;  // unusable sort last (lb = ~0)
+        if (lb[c] * 4 > best_key) break;
+        make_residual(c, res);
         score_candidate(res, n, sc[c], scr);
         const uint64_t zr_eff =
             (zero_run_enabled && sc[c].has_run) ? sc[c].zr_bits : sc[c].rice_bits;
@@ -1608,7 +1688,10 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
         if (zr_eff < bits) bits = zr_eff;
         if (sc[c].bin_bits < bits) bits = sc[c].bin_bits;
         const uint64_t key = bits * 4 + kCandPtype[c];
-        if (key < best_key) { best_key = key; sel = c; }
+        if (key < best_key || (key == best_key && c < sel)) {
+          best_key = key;
+          sel = c;
+        }
       }
 
       int8_t* meta = out_meta + b * meta_stride;
