@@ -1520,15 +1520,64 @@ inline uint64_t residual_cost_lb(const int32_t* res, uint32_t n) {
   return total;
 }
 
+// Exact vectorized stateless k sequence over one partition. The
+// stateless adapter is memoryless — kseq[i] is a pure function of the
+// prefix sum and the count:
+//   kseq[s0] = init_k
+//   kseq[i]  = k_from_mean(floor((S[i] - S[s0] + ((i-s0) >> 1)) / (i-s0)))
+// (S = exclusive prefix sums of u). The f64 division is within one
+// integer of the exact floor (operands < 2^53), fixed up with one
+// multiply-compare in each direction, so the result is bit-exact.
+void stateless_kseq(const uint64_t* S, uint32_t s0, uint32_t e0,
+                    uint32_t init_k, uint8_t* kseq) {
+  kseq[s0] = static_cast<uint8_t>(init_k);
+  uint32_t i = s0 + 1;
+#if defined(LAC_SIMD_LPC) && defined(__AVX512CD__)
+  const __m512i base = _mm512_set1_epi64(static_cast<long long>(S[s0]));
+  const __m512i one = _mm512_set1_epi64(1);
+  const __m512i v31 = _mm512_set1_epi64(31);
+  const __m512i v64 = _mm512_set1_epi64(64);
+  __m512i cnt = _mm512_set_epi64(8, 7, 6, 5, 4, 3, 2, 1);
+  for (; i + 8 <= e0; i += 8) {
+    const __m512i Sv = _mm512_loadu_si512(S + i);
+    const __m512i sum = _mm512_sub_epi64(Sv, base);
+    const __m512i num = _mm512_add_epi64(sum, _mm512_srli_epi64(cnt, 1));
+    __m512i q = _mm512_cvttpd_epu64(
+        _mm512_div_pd(_mm512_cvtepu64_pd(num), _mm512_cvtepu64_pd(cnt)));
+    const __mmask8 over =
+        _mm512_cmpgt_epu64_mask(_mm512_mullo_epi64(q, cnt), num);
+    q = _mm512_mask_sub_epi64(q, over, q, one);
+    const __mmask8 under = _mm512_cmple_epu64_mask(
+        _mm512_mullo_epi64(_mm512_add_epi64(q, one), cnt), num);
+    q = _mm512_mask_add_epi64(q, under, q, one);
+    // k = mean <= 1 ? 0 : min(31, bitwidth(mean - 1))
+    const __m512i bw =
+        _mm512_sub_epi64(v64, _mm512_lzcnt_epi64(_mm512_sub_epi64(q, one)));
+    __m512i k = _mm512_min_epu64(bw, v31);
+    k = _mm512_maskz_mov_epi64(_mm512_cmpgt_epu64_mask(q, one), k);
+    _mm_storel_epi64(reinterpret_cast<__m128i*>(kseq + i),
+                     _mm512_cvtepi64_epi8(k));
+    cnt = _mm512_add_epi64(cnt, _mm512_set1_epi64(8));
+  }
+#endif
+  for (; i < e0; ++i) {
+    const uint64_t cntx = i - s0;
+    const uint64_t num = (S[i] - S[s0]) + (cntx >> 1);
+    kseq[i] = static_cast<uint8_t>(k_from_mean(num / cntx));
+  }
+}
+
 // per-lane scratch shared across candidates (sized once per worker)
 struct PlanScratch {
   std::vector<int32_t> res, win, last_nz, next_nz;
   std::vector<uint32_t> u, uwin, runlen;
   std::vector<uint8_t> kseq, covered;
   std::vector<uint64_t> psum;  // (n + 1) x 16, i-major
+  std::vector<uint64_t> su;    // (n + 1) contiguous prefix sums of uwin
   explicit PlanScratch(uint32_t n)
       : res(n), win(n), last_nz(n), next_nz(n), u(n), uwin(n), runlen(n),
-        kseq(n), covered(n), psum((static_cast<size_t>(n) + 1) * 16) {}
+        kseq(n), covered(n), psum((static_cast<size_t>(n) + 1) * 16),
+        su(static_cast<size_t>(n) + 1) {}
 };
 
 // one full-block scoring pass: initial/static k sweeps (SIMD), the
@@ -1727,6 +1776,8 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
       // winner precomputations shared by every sweep stage
       zigzag_fill(win, n, uwin);
       psum_build(uwin, n, psum);
+      uint64_t* const su = scr.su.data();
+      for (uint32_t i = 0; i <= n; ++i) su[i] = psum[static_cast<size_t>(i) * 16];
       {
         int32_t last = -static_cast<int32_t>(n) - 2;
         for (uint32_t i = 0; i < n; ++i) {
@@ -1768,15 +1819,13 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
           }
           const uint64_t static_bits = bestc;
 
-          // serial stateless-k recurrence with partition-clamped run
-          // geometry; mode costs follow vectorized over the range
-          KTrack md;
-          uint64_t sum = 0;
-          uint32_t k = init_k;
+          // stateless k is memoryless: the whole sequence vectorizes
+          // exactly; the partition-clamped run geometry is per-sample
+          // independent too (last_nz/next_nz), so no serial recurrence
+          stateless_kseq(su, s0, e0, init_k, kseq);
           uint64_t zr_tok = 0;
           bool has_run = false;
           for (uint32_t i = s0; i < e0; ++i) {
-            kseq[i] = static_cast<uint8_t>(k);
             uint8_t cov = 0;
             if (win[i] == 0) {
               const uint32_t run_first =
@@ -1793,8 +1842,6 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
               }
             }
             covered[i] = cov;
-            sum += uwin[i];
-            k = adapt_stateless_inc(md, sum, i - s0 + 1);
           }
           ModeCosts mc;
           cost_pass(uwin, kseq, covered, s0, e0, mc);
