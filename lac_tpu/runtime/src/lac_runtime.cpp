@@ -1482,40 +1482,52 @@ inline void cost_pass(const uint32_t* u, const uint8_t* kseq, const uint8_t* cov
 // Every mode's true per-sample cost is >= this (rice/static/bin/zero-run,
 // incl. run tokens and escapes), so sum(lb) <= min over modes of the
 // exact cost that score_candidate would compute.
-inline uint64_t residual_cost_lb(const int32_t* res, uint32_t n) {
+constexpr uint32_t kScoreChunk = 2048;  // early-abort granularity
+
+// `chunk_lb`, when non-null, receives the bound per kScoreChunk-sample
+// chunk ((n + kScoreChunk - 1) / kScoreChunk entries) for the scoring
+// early-abort's remaining-cost suffix bounds.
+inline uint64_t residual_cost_lb(const int32_t* res, uint32_t n,
+                                 uint64_t* chunk_lb = nullptr) {
   uint64_t total = 0;
-  uint32_t i = 0;
+  for (uint32_t c0 = 0; c0 < n; c0 += kScoreChunk) {
+    const uint32_t c1 = c0 + kScoreChunk < n ? c0 + kScoreChunk : n;
+    uint64_t sub = 0;
+    uint32_t i = c0;
 #if defined(LAC_SIMD_LPC) && defined(__AVX512CD__)
-  __m512i acc = _mm512_setzero_si512();
-  const __m512i one = _mm512_set1_epi32(1);
-  const __m512i three = _mm512_set1_epi32(3);
-  const __m512i four = _mm512_set1_epi32(4);
-  const __m512i v31 = _mm512_set1_epi32(31);
-  const __m512i v32 = _mm512_set1_epi32(32);
-  for (; i + 16 <= n; i += 16) {
-    const __m512i v = _mm512_loadu_si512(res + i);
-    const __m512i u =
-        _mm512_xor_si512(_mm512_slli_epi32(v, 1), _mm512_srai_epi32(v, 31));
-    const __mmask16 nz = _mm512_test_epi32_mask(u, u);
-    const __m512i bw = _mm512_sub_epi32(v32, _mm512_lzcnt_epi32(u));
-    __m512i per = _mm512_add_epi32(_mm512_min_epu32(bw, v31), one);
-    const __mmask16 small = _mm512_cmple_epu32_mask(u, four);
-    per = _mm512_mask_min_epu32(per, small, per, three);
-    per = _mm512_maskz_mov_epi32(nz, per);
-    acc = _mm512_add_epi64(
-        acc, _mm512_add_epi64(
-                 _mm512_cvtepu32_epi64(_mm512_castsi512_si256(per)),
-                 _mm512_cvtepu32_epi64(_mm512_extracti64x4_epi64(per, 1))));
-  }
-  total += static_cast<uint64_t>(_mm512_reduce_add_epi64(acc));
+    __m512i acc = _mm512_setzero_si512();
+    const __m512i one = _mm512_set1_epi32(1);
+    const __m512i three = _mm512_set1_epi32(3);
+    const __m512i four = _mm512_set1_epi32(4);
+    const __m512i v31 = _mm512_set1_epi32(31);
+    const __m512i v32 = _mm512_set1_epi32(32);
+    for (; i + 16 <= c1; i += 16) {
+      const __m512i v = _mm512_loadu_si512(res + i);
+      const __m512i u =
+          _mm512_xor_si512(_mm512_slli_epi32(v, 1), _mm512_srai_epi32(v, 31));
+      const __mmask16 nz = _mm512_test_epi32_mask(u, u);
+      const __m512i bw = _mm512_sub_epi32(v32, _mm512_lzcnt_epi32(u));
+      __m512i per = _mm512_add_epi32(_mm512_min_epu32(bw, v31), one);
+      const __mmask16 small = _mm512_cmple_epu32_mask(u, four);
+      per = _mm512_mask_min_epu32(per, small, per, three);
+      per = _mm512_maskz_mov_epi32(nz, per);
+      acc = _mm512_add_epi64(
+          acc, _mm512_add_epi64(
+                   _mm512_cvtepu32_epi64(_mm512_castsi512_si256(per)),
+                   _mm512_cvtepu32_epi64(_mm512_extracti64x4_epi64(per, 1))));
+    }
+    sub += static_cast<uint64_t>(_mm512_reduce_add_epi64(acc));
 #endif
-  for (; i < n; ++i) {
-    const uint32_t u = zigzag_u(res[i]);
-    if (u == 0) continue;
-    const uint32_t bw = 32u - static_cast<uint32_t>(__builtin_clz(u));
-    uint32_t per = 1u + (bw > 31u ? 31u : bw);
-    if (u <= 4u && per > 3u) per = 3u;
-    total += per;
+    for (; i < c1; ++i) {
+      const uint32_t u = zigzag_u(res[i]);
+      if (u == 0) continue;
+      const uint32_t bw = 32u - static_cast<uint32_t>(__builtin_clz(u));
+      uint32_t per = 1u + (bw > 31u ? 31u : bw);
+      if (u <= 4u && per > 3u) per = 3u;
+      sub += per;
+    }
+    if (chunk_lb) chunk_lb[c0 / kScoreChunk] = sub;
+    total += sub;
   }
   return total;
 }
@@ -1574,16 +1586,25 @@ struct PlanScratch {
   std::vector<uint8_t> kseq, covered;
   std::vector<uint64_t> psum;  // (n + 1) x 16, i-major
   std::vector<uint64_t> su;    // (n + 1) contiguous prefix sums of uwin
+  std::vector<uint64_t> lbc;   // per-candidate per-chunk lower bounds
   explicit PlanScratch(uint32_t n)
       : res(n), win(n), last_nz(n), next_nz(n), u(n), uwin(n), runlen(n),
         kseq(n), covered(n), psum((static_cast<size_t>(n) + 1) * 16),
-        su(static_cast<size_t>(n) + 1) {}
+        su(static_cast<size_t>(n) + 1),
+        lbc(static_cast<size_t>(kNumCand) * ((n + kScoreChunk - 1) / kScoreChunk)) {}
 };
 
-// one full-block scoring pass: initial/static k sweeps (SIMD), the
+// One full-block scoring pass: initial/static k sweeps (SIMD), the
 // serial stateful-k recurrence recording the per-sample k sequence and
-// zero-run coverage, then the vectorized per-sample mode costs.
-void score_candidate(const int32_t* res, uint32_t n, CandScore& s, PlanScratch& scr) {
+// zero-run coverage, then the vectorized per-sample mode costs — chunked
+// so a candidate provably unable to beat `abort_key` stops early.
+// `chunk_lb` are residual_cost_lb's per-kScoreChunk bounds; the final
+// bit cost is >= min(static_bits, min-mode partial + remaining bound),
+// so once that floor exceeds abort_key/4 the candidate can never be
+// selected and the rest of the serial pass is skipped. Returns false on
+// abort (s is then incomplete and must not be used).
+bool score_candidate(const int32_t* res, uint32_t n, CandScore& s, PlanScratch& scr,
+                     const uint64_t* chunk_lb = nullptr, uint64_t abort_bits = ~0ULL) {
   uint32_t* u = scr.u.data();
   uint8_t* kseq = scr.kseq.data();
   uint8_t* covered = scr.covered.data();
@@ -1605,6 +1626,8 @@ void score_candidate(const int32_t* res, uint32_t n, CandScore& s, PlanScratch& 
     if (c < best) { best = c; s.static_k = k; }
   }
   s.static_bits = best;
+  const bool may_abort =
+      chunk_lb != nullptr && s.static_bits >= abort_bits;  // static alone can't win
 
   // backward pass: maximal-run length at each zero sample
   uint32_t run = 0;
@@ -1612,37 +1635,53 @@ void score_candidate(const int32_t* res, uint32_t n, CandScore& s, PlanScratch& 
     run = res[i] == 0 ? run + 1 : 0;
     runlen[i] = run;
   }
+  // suffix bounds on the not-yet-scored remainder
+  const uint32_t nchunks = (n + kScoreChunk - 1) / kScoreChunk;
+  uint64_t lb_rem = 0;
+  if (may_abort)
+    for (uint32_t t = 0; t < nchunks; ++t) lb_rem += chunk_lb[t];
 
   // serial adaptation pass: k sequence + run tokens/coverage only
   AdaptK st;
   uint64_t sum = 0;
   uint32_t k = s.initial_k;
   bool in_long_run = false;  // current sample covered by a run token
-  for (uint32_t i = 0; i < n; ++i) {
-    kseq[i] = static_cast<uint8_t>(k);
-    uint8_t cov = 0;
-    if (res[i] == 0) {
-      if (i == 0 || res[i - 1] != 0) {  // run start: runlen[i] is the full length
-        in_long_run = runlen[i] >= kZrMinRun;
-        if (in_long_run) {
-          s.zr_bits += 2 + ((runlen[i] - kZrMinRun) >> kZrLenK) + 1 + kZrLenK;
-          s.has_run = true;
-        }
-      }
-      cov = in_long_run;
-    } else {
-      in_long_run = false;
-    }
-    covered[i] = cov;
-    sum += u[i];
-    k = adapt_stateful(st, sum, i + 1);
-  }
-
   ModeCosts mc;
-  cost_pass(u, kseq, covered, 0, n, mc);
+  for (uint32_t c0 = 0; c0 < n; c0 += kScoreChunk) {
+    const uint32_t c1 = c0 + kScoreChunk < n ? c0 + kScoreChunk : n;
+    for (uint32_t i = c0; i < c1; ++i) {
+      kseq[i] = static_cast<uint8_t>(k);
+      uint8_t cov = 0;
+      if (res[i] == 0) {
+        if (i == 0 || res[i - 1] != 0) {  // run start: runlen[i] is the full length
+          in_long_run = runlen[i] >= kZrMinRun;
+          if (in_long_run) {
+            s.zr_bits += 2 + ((runlen[i] - kZrMinRun) >> kZrLenK) + 1 + kZrLenK;
+            s.has_run = true;
+          }
+        }
+        cov = in_long_run;
+      } else {
+        in_long_run = false;
+      }
+      covered[i] = cov;
+      sum += u[i];
+      k = adapt_stateful(st, sum, i + 1);
+    }
+    cost_pass(u, kseq, covered, c0, c1, mc);
+    if (may_abort && c1 < n) {
+      lb_rem -= chunk_lb[c0 / kScoreChunk];
+      uint64_t part = mc.rice;  // min over modes of the scored prefix
+      if (mc.bin < part) part = mc.bin;
+      const uint64_t zr_part = s.zr_bits + mc.zr_esc;
+      if (zr_part < part) part = zr_part;
+      if (part + lb_rem >= abort_bits) return false;
+    }
+  }
   s.rice_bits = mc.rice;
   s.bin_bits = mc.bin;
   s.zr_bits += mc.zr_esc;
+  return true;
 }
 
 }  // namespace
@@ -1697,13 +1736,16 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
         const int16_t* co = lpc_coeffs + (static_cast<uint64_t>(li) * B + b) * 13;
         return lpc_residual_checked(x, n, co, 12, dst) ? 1 : -1;
       };
+      const uint32_t nchunks = (n + kScoreChunk - 1) / kScoreChunk;
       uint64_t lb[kNumCand];
       uint8_t usable[kNumCand];
       for (uint32_t c = 0; c < kNumCand; ++c) {
         const int st_r = make_residual(c, res);
         usable[c] = st_r == 1;
         if (st_r == -1) in_range = false;
-        lb[c] = usable[c] ? residual_cost_lb(res, n) : ~0ULL;
+        lb[c] = usable[c]
+                    ? residual_cost_lb(res, n, scr.lbc.data() + c * nchunks)
+                    : ~0ULL;
       }
       // bound-ascending order (stable in c)
       uint32_t order[kNumCand];
@@ -1729,7 +1771,14 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
         if (!usable[c]) break;  // unusable sort last (lb = ~0)
         if (lb[c] * 4 > best_key) break;
         make_residual(c, res);
-        score_candidate(res, n, sc[c], scr);
+        // a candidate needs bits <= best_key / 4 to win (even on ties)
+        const uint64_t abort_bits =
+            best_key == ~0ULL ? ~0ULL : best_key / 4 + 1;
+        if (!score_candidate(res, n, sc[c], scr,
+                             scr.lbc.data() + c * nchunks, abort_bits)) {
+          sc[c] = CandScore();  // aborted: partial fields are meaningless
+          continue;
+        }
         const uint64_t zr_eff =
             (zero_run_enabled && sc[c].has_run) ? sc[c].zr_bits : sc[c].rice_bits;
         uint64_t bits = sc[c].rice_bits;
