@@ -1586,11 +1586,12 @@ struct PlanScratch {
   std::vector<uint8_t> kseq, covered;
   std::vector<uint64_t> psum;  // (n + 1) x 16, i-major
   std::vector<uint64_t> su;    // (n + 1) contiguous prefix sums of uwin
+  std::vector<uint64_t> lbpre; // (n + 1) prefix of the winner's per-sample bound
   std::vector<uint64_t> lbc;   // per-candidate per-chunk lower bounds
   explicit PlanScratch(uint32_t n)
       : res(n), win(n), last_nz(n), next_nz(n), u(n), uwin(n), runlen(n),
         kseq(n), covered(n), psum((static_cast<size_t>(n) + 1) * 16),
-        su(static_cast<size_t>(n) + 1),
+        su(static_cast<size_t>(n) + 1), lbpre(static_cast<size_t>(n) + 1),
         lbc(static_cast<size_t>(kNumCand) * ((n + kScoreChunk - 1) / kScoreChunk)) {}
 };
 
@@ -1827,6 +1828,20 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
       psum_build(uwin, n, psum);
       uint64_t* const su = scr.su.data();
       for (uint32_t i = 0; i <= n; ++i) su[i] = psum[static_cast<size_t>(i) * 16];
+      // prefix of the winner's per-sample lower bound (residual_cost_lb
+      // semantics), for sweep-stage early aborts
+      uint64_t* const lbpre = scr.lbpre.data();
+      lbpre[0] = 0;
+      for (uint32_t i = 0; i < n; ++i) {
+        const uint32_t uu = uwin[i];
+        uint32_t per = 0;
+        if (uu != 0) {
+          const uint32_t bw = 32u - static_cast<uint32_t>(__builtin_clz(uu));
+          per = 1u + (bw > 31u ? 31u : bw);
+          if (uu <= 4u && per > 3u) per = 3u;
+        }
+        lbpre[i + 1] = lbpre[i] + per;
+      }
       {
         int32_t last = -static_cast<int32_t>(n) - 2;
         for (uint32_t i = 0; i < n; ++i) {
@@ -1845,8 +1860,20 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
         const uint32_t base_sz = n >> p;
         const uint32_t nparts = 1u << p;
         uint64_t total_bits = 0;
+        // Every accept clause needs total <= best_total (+ the 5% margin
+        // only while best_p == 0), and partitions not yet costed are
+        // bounded below by the lbpre prefix — abandon the stage as soon
+        // as even that floor cannot be accepted.
+        const uint64_t accept_cap =
+            best_total + (best_p == 0 ? best_total / kMarginDiv : 0);
+        const uint64_t stage_hdr = 8 + 7ull * nparts;
+        bool abandoned = false;
         for (uint32_t pi = 0; pi < nparts; ++pi) {
           const uint32_t s0 = pi * base_sz;
+          if (total_bits + (lbpre[n] - lbpre[s0]) + stage_hdr > accept_cap) {
+            abandoned = true;
+            break;
+          }
           const uint32_t e0 = (pi + 1 == nparts) ? n : s0 + base_sz;
           const uint32_t len = e0 - s0;
           // head/static k from the prefix-sum rows
@@ -1909,6 +1936,7 @@ int lac_plan_blocks(const int32_t* pcm,      // (B, n)
           ks_s[pi] = static_cast<uint8_t>(ksel);
           total_bits += bits;
         }
+        if (abandoned) continue;  // provably not acceptable; best_* unchanged
         const uint64_t total = pad8(total_bits + 8 + 7ull * nparts);
         const uint64_t margin = best_total / kMarginDiv;
         const bool accept = (total < best_total) ||
