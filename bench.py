@@ -384,6 +384,10 @@ def main():
     # which never touches the device — always emits a parseable line.
     floor = max(45.0, 0.15 * BUDGET_S)
     results = []
+    if os.environ.get("LAC_BENCH_NO_DEVICE") == "1":
+        nat_result["note"] = "device path disabled (LAC_BENCH_NO_DEVICE=1)"
+    elif remaining() <= floor + 30:
+        nat_result["note"] = "no budget left for the device stage"
     if os.environ.get("LAC_BENCH_NO_DEVICE") != "1" and remaining() > floor + 30:
         with tempfile.TemporaryDirectory() as td:
             np.savez(f"{td}/corpus.npz", left=left, right=right)
