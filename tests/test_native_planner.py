@@ -99,3 +99,30 @@ def test_autocorr_native_matches_numpy():
     want[0, 0] = 34
     want[0, 1] = -15
     np.testing.assert_array_equal(got, want)
+
+
+def test_planner_prune_fuzz_near_ties():
+    """Multi-seed fuzz aimed at the branch-and-bound paths: signals where
+    several candidates land within a few bits of each other (scaled noise
+    over weak tonal content) plus zero-heavy mixes that trigger scoring
+    aborts and sweep-stage abandons. The native planner must still match
+    plan_group's meta exactly, including lexicographic tie-breaks."""
+    n = 2048
+    for seed in range(16):
+        rng = np.random.default_rng(1000 + seed)
+        rows = []
+        # weak sine + noise at a ratio that keeps fixed orders competitive
+        amp = int(rng.integers(2, 2000))
+        rows.append(sine(n, 44100, float(rng.integers(100, 4000)), amp)
+                    + lcg_noise(n, max(1, amp // 2), seed))
+        # near-tie between predictors: piecewise constant + tiny jitter
+        pc = np.repeat(rng.integers(-50, 50, n // 64), 64).astype(np.int32)
+        rows.append(pc + lcg_noise(n, 1, seed + 7))
+        # zero-heavy with bursts (stage aborts + zero-run mode)
+        z = np.zeros(n, np.int32)
+        burst = rng.integers(0, n - 64)
+        z[burst : burst + 32] = rng.integers(-30000, 30000, 32, dtype=np.int32)
+        rows.append(z)
+        pcm = np.stack(rows)
+        _compare(pcm, True, True)
+        _compare(pcm, True, False)
