@@ -174,7 +174,11 @@ inline bool read_rice_u(Reader& r, uint32_t k, uint32_t& value) {
 
 // ------------------------------------------------------------- adaptation
 
-// Incremental k tracker. The adapters never need the mean's VALUE —
+// Incremental k tracker (reference semantics: rice.hpp:45-114 and the
+// stateless twins block/encoder.cpp:72-77, block/decoder.cpp:90-96 —
+// rounded mean (sum+count/2)/count, bit_width(mean-1) bucket, clamp 31;
+// equivalence fuzz: scripts/fuzz_adapters.cpp).
+// The adapters never need the mean's VALUE —
 // only which k-bucket floor(num/count) falls in: k = 0 iff mean <= 1,
 // k in [1,30] iff 2^(k-1) < mean <= 2^k, k = 31 iff mean > 2^30
 // (k_from_mean below is the spec). Each bucket test cross-multiplies
@@ -441,7 +445,9 @@ bool restore_lpc(int32_t* x, uint32_t n, const int16_t* coeffs, int order) {
     x[i] = static_cast<int32_t>(s);
   }
   if (order == 12 && n > 12) {
-    // the codec's only LPC order: coefficients and the 12-sample history
+    // the encoder's top LPC order (reference restore:
+    // block/decoder.cpp:30-55 restore_lpc_known_order_in_place<12>):
+    // coefficients and the 12-sample history
     // window live in registers, and the per-sample range check becomes a
     // sticky flag (on overflow the stream is rejected and x[] discarded,
     // so wrapped continuation values never escape; same verdict as the
@@ -1500,7 +1506,10 @@ inline void cost_pass(const uint32_t* u, const uint8_t* kseq, const uint8_t* cov
 }
 
 // Exact lower bound on a candidate's best-mode bit cost, computable
-// without the serial adaptation pass. Per sample with u = zigzag(res):
+// without the serial adaptation pass (the modes and their exact costs
+// are the reference's: block/encoder.cpp:201-263; selection + ties
+// encoder.cpp:352-407 — the bound only SKIPS work, never changes the
+// selected winner). Per sample with u = zigzag(res):
 //   u == 0  -> 0   (zero-run coverage can make zeros nearly free)
 //   u == 1  -> 2   (rice floor: min_k (u>>k)+1+k = 1 + bitwidth(u))
 //   u <= 4  -> 3   (bin mode pays a flat 3 for 0 < u <= 4)
