@@ -2031,7 +2031,12 @@ int lac_autocorr(const int32_t* pcm,  // (B, n)
       const int32_t* x = pcm + static_cast<uint64_t>(b) * n;
       int64_t* o = out + static_cast<uint64_t>(b) * no;
       for (uint32_t k = 0; k < no; ++k) {
-        int64_t acc = 0;
+        // accumulate in uint64: out-of-domain int32 inputs (the ladder
+        // tests drive full ±2^31 samples) can overflow the int64 sum,
+        // which is UB signed but defined two's-complement wraparound
+        // unsigned — bit-identical to the numpy twin's int64 wrap and
+        // to the SIMD lane adds below
+        uint64_t acc = 0;
         uint32_t i = k;
         if (k >= n) { o[k] = 0; continue; }
 #if defined(LAC_SIMD_LPC)
@@ -2043,10 +2048,13 @@ int lac_autocorr(const int32_t* pcm,  // (B, n)
               _mm256_loadu_si256(reinterpret_cast<const __m256i*>(x + i - k)));
           vacc = _mm512_add_epi64(vacc, _mm512_mullo_epi64(a, c));
         }
-        acc = _mm512_reduce_add_epi64(vacc);
+        alignas(64) int64_t lanes[8];
+        _mm512_storeu_si512(lanes, vacc);
+        for (int l = 0; l < 8; ++l) acc += static_cast<uint64_t>(lanes[l]);
 #endif
-        for (; i < n; ++i) acc += static_cast<int64_t>(x[i]) * x[i - k];
-        o[k] = acc;
+        for (; i < n; ++i)
+          acc += static_cast<uint64_t>(static_cast<int64_t>(x[i]) * x[i - k]);
+        o[k] = static_cast<int64_t>(acc);
       }
     }
   };
