@@ -169,12 +169,14 @@ def make_long(seed=52, frames=LONG_FRAMES):
 
 
 def bench_long(enc, reserve_s=90.0):
-    """-> (ours frames/s, reference frames/s or None, parity ok or None).
+    """-> (ours frames/s, reference frames/s or None, parity ok or None,
+    decode frames/s or None).
 
     One warm pass (long-shape executable loads), then up to three
     fresh-content timed passes, stopping early when the wall-clock budget
     runs low; the reference is timed once on the same content only if
-    `reserve_s` of budget is still available for it.
+    `reserve_s` of budget is still available for it. The last stream is
+    also decoded once (native path) for a long-file decode record.
     """
     # warm pass: loads the long-ladder (K=256) executables; ~5M frames is
     # enough to engage the ladder and costs far less budget than 50M
@@ -191,8 +193,16 @@ def bench_long(enc, reserve_s=90.0):
         if remaining() < reserve_s + dt + 15:
             break
     ours_fps = LONG_FRAMES / best
+    dec_fps = None
+    if remaining() > 30:
+        from lac_tpu.decoder import FrameDecoder
+
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            FrameDecoder().decode_to_wav(bs, f"{td}/long_dec.wav")
+            dec_fps = LONG_FRAMES / (time.perf_counter() - t0)
     if not REF.exists() or remaining() < reserve_s:
-        return ours_fps, None, None
+        return ours_fps, None, None, dec_fps
     from lac_tpu.io import write_wav
 
     with tempfile.TemporaryDirectory() as td:
@@ -203,7 +213,7 @@ def bench_long(enc, reserve_s=90.0):
         subprocess.run([str(REF), "encode", wav, lac], check=True, capture_output=True)
         ref_fps = LONG_FRAMES / (time.perf_counter() - t0)
         parity = open(lac, "rb").read() == bs
-    return ours_fps, ref_fps, parity
+    return ours_fps, ref_fps, parity, dec_fps
 
 
 def bench_decode(bitstream):
@@ -282,9 +292,11 @@ def device_child(td):
     if os.environ.get("LAC_BENCH_SKIP_LONG") == "1":
         result["long_skipped"] = "env"
     elif remaining() > 280:  # long-shape executable loads + gen + ref need ~250s
-        long_fps, long_ref, long_parity = bench_long(enc)
+        long_fps, long_ref, long_parity, long_dec = bench_long(enc)
         result["long_frames"] = LONG_FRAMES
         result["long_value"] = round(long_fps, 1)
+        if long_dec:
+            result["long_decode_value"] = round(long_dec, 1)
         if long_ref:
             result["long_vs_baseline"] = round(long_fps / long_ref, 3)
         else:
