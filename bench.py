@@ -432,6 +432,41 @@ def main():
         nat_result["decode_value"] = round(dec_fps, 1)
         if dec_ref:
             nat_result["decode_vs_baseline"] = round(dec_fps / dec_ref, 3)
+    if remaining() > 75 and os.environ.get("LAC_BENCH_SKIP_LONG") != "1":
+        # long-file story on the tunnel-immune path too: one native
+        # encode of a 10 M-frame stream vs the reference CLI
+        frames = 10_000_000
+        lleft, lright = make_long(57, frames=frames)
+        prev = os.environ.get("LAC_TPU_COLD_BLOCKS")
+        os.environ["LAC_TPU_COLD_BLOCKS"] = "1000000000"
+        try:
+            from lac_tpu.encoder import FrameEncoder
+
+            enc = FrameEncoder(12, 2, SR, 16)
+            t0 = time.perf_counter()
+            lbs = enc.encode(lleft, lright)
+            nat_result["long_frames"] = frames
+            nat_result["long_value"] = round(frames / (time.perf_counter() - t0), 1)
+        finally:
+            if prev is None:
+                os.environ.pop("LAC_TPU_COLD_BLOCKS", None)
+            else:
+                os.environ["LAC_TPU_COLD_BLOCKS"] = prev
+        if REF.exists() and remaining() > 30:
+            from lac_tpu.io import write_wav
+
+            with tempfile.TemporaryDirectory() as td:
+                wav, lac = f"{td}/l.wav", f"{td}/l.lac"
+                write_wav(wav, lleft, lright, 2, SR, 16)
+                t0 = time.perf_counter()
+                subprocess.run([str(REF), "encode", wav, lac],
+                               check=True, capture_output=True)
+                lref = frames / (time.perf_counter() - t0)
+                nat_result["long_vs_baseline"] = round(
+                    nat_result["long_value"] / lref, 3)
+                if open(lac, "rb").read() != lbs:
+                    nat_result["error"] = "long-file bitstream parity FAILED"
+                    nat_result["vs_baseline"] = 0.0
     emit(nat_result)
     return 0
 
