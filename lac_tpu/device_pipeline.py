@@ -109,6 +109,11 @@ def _jitted_analyze(K, kind, in_dtype, mesh=None):
 
     Kl = K if mesh is None else K // int(np.prod(list(mesh.shape.values())))
     mask_np = np.ones((Kl, N), bool)
+    # exact MXU autocorrelation: the plane domain is static per upload
+    # dtype (16-bit content: |side| <= 65535 -> 4 limbs; 24-bit content:
+    # |side| <= 2^24 - 2 -> 5 limbs), so the 5-bit-limb Gram path is
+    # bit-exact (ops/lpc.py autocorrelation_limbs)
+    nlimb = 4 if in_dtype == "int16" else 5
 
     def analyze(lmat, rmat):
         l32 = lmat.astype(jnp.int32)
@@ -132,10 +137,10 @@ def _jitted_analyze(K, kind, in_dtype, mesh=None):
                         [planes[:, :, p : p + PROBE] for p in PROBE_POS], axis=2
                     )  # (4, K, 3, PROBE)
                     out["probes"] = probes.reshape(-1, PROBE)
-                    out["plags"] = lpc.autocorrelation(out["probes"], 12, xp=jnp)
+                    out["plags"] = lpc.autocorrelation_limbs(out["probes"], 12, nlimb, xp=jnp)
         P = planes.shape[0]
         out["planes"] = planes.reshape(P * Kl, N)
-        out["lags"] = lpc.autocorrelation(out["planes"], 12, xp=jnp)
+        out["lags"] = lpc.autocorrelation_limbs(out["planes"], 12, nlimb, xp=jnp)
         if mesh is None:
             # single-device path: the outputs dispatch_plan BLOCKS on
             # (cm/un/lags) ride one packed i64 buffer -> one D2H fetch.

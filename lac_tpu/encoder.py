@@ -541,10 +541,15 @@ def _jitted_plan(n, zero_run_enabled, partitioning_enabled, emit_fields=True):
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_autocorr(order):
+def _jitted_autocorr(order, nlimbs=0):
+    """``nlimbs > 0``: exact 5-bit-limb MXU Gram path (bit-identical for
+    ``|x| < 2^(5*nlimbs - 1)``, ops/lpc.py); 0: emulated-int64 VPU path
+    (out-of-24-bit-domain inputs only)."""
     import jax
     import jax.numpy as jnp
 
+    if nlimbs:
+        return jax.jit(lambda x: lpc.autocorrelation_limbs(x, order, nlimbs, xp=jnp))
     return jax.jit(lambda x: lpc.autocorrelation(x, order, xp=jnp))
 
 
@@ -663,7 +668,13 @@ class _GroupJob:
             msize = int(np.prod(enc.mesh.devices.shape))
             while Bp % msize:
                 Bp *= 2
-        small = self.pcm_np.min(initial=0) >= -32768 and self.pcm_np.max(initial=0) <= 32767
+        mn = int(self.pcm_np.min(initial=0))
+        mx = int(self.pcm_np.max(initial=0))
+        small = mn >= -32768 and mx <= 32767
+        # exact-MXU autocorr limb count, bucketed to two executable
+        # variants (int16 content -> 4, anything within the 24-bit+side
+        # frame domain -> 5); out-of-domain int32 keeps the i64 path
+        self.nlimbs = 4 if small else (5 if max(-mn, mx) < (1 << 24) else 0)
         with _dbg.phase("h2d_upload"):
             pcm_pad = np.zeros((Bp, n), np.int16 if small else np.int32)
             pcm_pad[:B] = self.pcm_np
@@ -678,7 +689,7 @@ class _GroupJob:
             # upload stream — the tunnel runs ~5x faster on synchronized
             # modest transfers than on one deep deferred flush
             with _dbg.phase("autocorr_fetch"):
-                self.R_np = np.asarray(_jitted_autocorr(12)(self.pcm_dev))[: self.B]
+                self.R_np = np.asarray(_jitted_autocorr(12, self.nlimbs)(self.pcm_dev))[: self.B]
         from . import device_pipeline as _dp
 
         _dp.mark_warm()  # this process now owns loaded device executables

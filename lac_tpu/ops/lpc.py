@@ -18,6 +18,8 @@ Parity-critical numerics (lpc.cpp:64-186):
 
 import numpy as np
 
+from ._backend import is_jax
+
 # Byte parity depends on np.longdouble being the x87 80-bit extended type
 # (matching the reference's `long double` on x86-64). On aarch64/Windows
 # longdouble is 64- or 128-bit and would silently produce near-but-not-
@@ -50,6 +52,75 @@ def autocorrelation(x, max_order, xp=np):
         else:
             lags.append(xp.sum(x64[..., k:] * x64[..., :-k], axis=-1))
     return xp.stack(lags, axis=-1)
+
+
+def nlimbs_for_maxabs(maxabs):
+    """Limb count for :func:`autocorrelation_limbs`: smallest ``nl`` with
+    ``|x| < 2^(5*nl - 1)`` (signed top limb covers the sign bit)."""
+    need = int(maxabs).bit_length() + 1  # signed range bits
+    return max(1, -(-need // 5))
+
+
+def autocorrelation_limbs(x, max_order, nlimbs, xp=np):
+    """Exact autocorrelation as 5-bit-limb Gram matmuls (MXU path).
+
+    Byte-identical to :func:`autocorrelation` for ``|x| < 2^(5*nlimbs-1)``
+    but runs on the TPU MXU instead of emulated-int64 VPU loops:
+
+    * ``x = sum_a limb_a(x) * 2^(5a)`` with unsigned 5-bit low limbs and
+      an arithmetic-shift signed top limb — every limb value is <= 31 in
+      magnitude, hence **exact in bfloat16**;
+    * lag products become limb-pair dot products ``G[k,a,b] =
+      sum_n limb_a[n-k] * limb_b[n]``, computed by ``dot_general`` with
+      f32 accumulation. Every product is an integer < 2^10 and every
+      partial sum an integer <= L * 961 <= 16384 * 961 < 2^24, so f32
+      accumulation is exact in any order;
+    * the tiny (.., max_order+1, nl, nl) Gram recombines in int64 with
+      weights ``2^(5(a+b))`` — exact for 24-bit blocks (|R| < 2^60, as
+      in the reference's int64 accumulation, lpc.cpp:80-96).
+
+    Requires ``L <= 16384`` (= MAX_BLOCK_SIZE) for the 2^24 bound.
+    """
+    lead = x.shape[:-1]
+    L = x.shape[-1]
+    assert L <= 16384, "f32-exactness bound requires L <= 16384"
+    x32 = x.astype(xp.int32)
+    ldt = np.float32
+    if is_jax(xp):
+        import jax.numpy as jnp
+
+        ldt = jnp.bfloat16
+    limbs = []
+    for a in range(nlimbs):
+        la = x32 >> xp.int32(5 * a)
+        if a < nlimbs - 1:
+            la = la & xp.int32(31)
+        limbs.append(la.astype(ldt))
+    Lm = xp.stack(limbs, axis=-1)  # (..., L, nl) — limb feature axis
+    nl = nlimbs
+    nk = max_order + 1
+    # lagged copies via one front-pad + static slices (x[n-k] = 0, n < k)
+    pad = [(0, 0)] * (Lm.ndim - 2) + [(max_order, 0), (0, 0)]
+    Lp = xp.pad(Lm, pad)
+    Xb = xp.concatenate(
+        [Lp[..., max_order - k : max_order - k + L, :] for k in range(nk)], axis=-1
+    )  # (..., L, nk*nl)
+    if is_jax(xp):
+        import jax
+        import jax.numpy as jnp
+
+        nb = len(lead)
+        G = jax.lax.dot_general(
+            Xb, Lm,
+            dimension_numbers=(((nb,), (nb,)), (tuple(range(nb)), tuple(range(nb)))),
+            preferred_element_type=jnp.float32,
+        )  # (..., nk*nl, nl)
+    else:
+        G = np.einsum("...na,...nb->...ab", Xb.astype(np.float32), Lm.astype(np.float32))
+    G = G.astype(xp.int64).reshape(lead + (nk, nl, nl))
+    w = (np.arange(nl, dtype=np.int64)[:, None] + np.arange(nl, dtype=np.int64)[None, :])
+    weights = xp.asarray((np.int64(1) << (5 * w)).reshape(nl * nl))
+    return xp.sum(G.reshape(lead + (nk, nl * nl)) * weights, axis=-1)
 
 
 def levinson_durbin_snapshots(R, max_order):

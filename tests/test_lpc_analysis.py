@@ -101,6 +101,55 @@ def test_order_evaluation_quality(name, block):
             assert energy <= baseline[2] + tolerance
 
 
+# ----------------------------------------------------------- limb autocorr
+
+
+def _limb_cases():
+    rng = np.random.RandomState(0)
+    return [
+        ("i16_planes", rng.randint(-65535, 65536, (7, 16384)).astype(np.int32), 65535),
+        ("ms_24bit", rng.randint(-(2**24 - 2), 2**24 - 1, (5, 16384)).astype(np.int32), 2**24 - 2),
+        ("pos_boundary", np.full((2, 16384), 65535, np.int32), 65535),
+        ("neg_boundary", np.full((2, 16384), -(2**24 - 2), np.int32), 2**24 - 2),
+        ("alt_sign", np.where(np.arange(16384) % 2 == 0, 65535, -65535)[None].astype(np.int32), 65535),
+        ("probe_len", rng.randint(-65535, 65536, (11, 256)).astype(np.int32), 65535),
+        ("tiny_vals", rng.randint(-3, 4, (3, 16384)).astype(np.int32), 3),
+        ("int16_dtype", rng.randint(-32768, 32768, (4, 4096)).astype(np.int16), 32767),
+    ]
+
+
+@pytest.mark.parametrize("name,x,maxabs", _limb_cases(), ids=[c[0] for c in _limb_cases()])
+def test_autocorrelation_limbs_exact(name, x, maxabs):
+    """The 5-bit-limb MXU Gram formulation is bit-identical to the exact
+    int64 lags (ops/lpc.py autocorrelation_limbs; reference lpc.cpp:80-96)
+    on both backends, including domain boundaries."""
+    from lac_tpu.ops import lpc as lpc_ops
+
+    nl = lpc_ops.nlimbs_for_maxabs(maxabs)
+    assert maxabs < 1 << (5 * nl - 1)
+    ref = lpc_ops.autocorrelation(x.astype(np.int32), 12, xp=np)
+    got_np = lpc_ops.autocorrelation_limbs(x, 12, nl, xp=np)
+    assert np.array_equal(ref, got_np)
+    import jax
+    import jax.numpy as jnp
+
+    got_jx = np.asarray(
+        jax.jit(lambda a: lpc_ops.autocorrelation_limbs(a, 12, nl, xp=jnp))(x)
+    )
+    assert np.array_equal(ref, got_jx)
+
+
+def test_nlimbs_for_maxabs():
+    from lac_tpu.ops.lpc import nlimbs_for_maxabs
+
+    assert nlimbs_for_maxabs(32767) == 4
+    assert nlimbs_for_maxabs(65535) == 4
+    assert nlimbs_for_maxabs((1 << 19) - 1) == 4  # top of the 4-limb domain
+    assert nlimbs_for_maxabs(1 << 19) == 5
+    assert nlimbs_for_maxabs((1 << 24) - 2) == 5
+    assert nlimbs_for_maxabs(0) == 1
+
+
 # ---------------------------------------------------------------- coeff diff
 
 
