@@ -78,6 +78,22 @@ def chunk_width(nfull):
     return k
 
 
+def plan_batches(total, K):
+    """Batch widths for ``total`` full-block plan lanes at chunk width
+    ``K``: prefer one doubled dispatch over two K-wide ones when the
+    doubled executable is already a ladder shape (measured on the v5e:
+    the (256, 16384) plan runs ~71 ms warm vs ~47 ms for (128, 16384),
+    so one 256 beats two 128s by ~23 ms). Yields (lo, nsub, bp)."""
+    lo = 0
+    while lo < total:
+        rem = total - lo
+        bp = K
+        if rem > K and 2 * K in CHUNK_LADDER:
+            bp = 2 * K
+        yield lo, min(rem, bp), bp
+        lo += bp
+
+
 def applicable(frame_enc, nfull):
     from .ops._backend import is_jax
     from .runtime.native import native_available
@@ -342,10 +358,8 @@ class _ChunkJob:
             plan = _jitted_plan(N, pipe.zero_run, pipe.partitioning, False)
             self.futs = []
             with _dbg.phase("plan_dispatch"):
-                for lo in range(0, len(rows), K):
-                    sub = self.rows[lo : lo + K]
-                    nsub = len(sub)
-                    bp = K  # single fixed executable shape per width
+                for lo, nsub, bp in plan_batches(len(rows), K):
+                    sub = self.rows[lo : lo + nsub]
                     if nsub < bp:
                         sub = np.concatenate([sub, np.zeros(bp - nsub, np.int32)])
                     cpad = np.zeros((coeffs.shape[0], bp, 13), np.int16)

@@ -111,6 +111,33 @@ def test_chunk_width_ladder(monkeypatch):
     assert DP.chunk_width(10**6) == DP.CHUNK_LADDER[-1]
 
 
+def test_plan_batches_widths():
+    # doubling allowed only when 2K is itself a ladder shape
+    K0, K1 = DP.CHUNK_LADDER[0], DP.CHUNK_LADDER[1]
+    assert K1 == 2 * K0
+    assert list(DP.plan_batches(K0, K0)) == [(0, K0, K0)]
+    assert list(DP.plan_batches(K0 + 34, K0)) == [(0, K0 + 34, K1)]
+    assert list(DP.plan_batches(2 * K0, K0)) == [(0, 2 * K0, K1)]
+    assert list(DP.plan_batches(2 * K0 + 5, K0)) == [(0, K1, K1), (K1, 5, K0)]
+    # at the top ladder width there is no doubled executable
+    assert list(DP.plan_batches(2 * K1, K1)) == [(0, K1, K1), (K1, K1, K1)]
+    # non-ladder widths (test pins) never double
+    assert list(DP.plan_batches(40, 16)) == [(0, 16, 16), (16, 16, 16), (32, 8, 16)]
+
+
+def test_doubled_plan_batch_matches_legacy(monkeypatch):
+    # force the doubled-batch path under the CPU test pin: ladder (16, 32)
+    # makes a 16-block stereo chunk (32 lanes) take one 32-wide dispatch
+    monkeypatch.setattr(DP, "CHUNK_BLOCKS", 16)
+    monkeypatch.setattr(DP, "CHUNK_LADDER", (16, 32))
+    l, r = _gliding_corpus(16384 * 18 + 700)
+    a, b = _both(2, 16, l, r)
+    assert a == b
+    for mode in (0, 1):
+        a, b = _both(mode, 16, l, r)
+        assert a == b
+
+
 @pytest.mark.skipif(
     os.environ.get("LAC_TPU_SLOW") != "1",
     reason="production-shape compile smoke: tens of minutes on one CPU core "
