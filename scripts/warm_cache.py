@@ -60,9 +60,12 @@ def warm_planes():
 
 def main():
     t0 = time.time()
-    ac = E._jitted_autocorr(12)
-    for b in (1, 2, 4, 8, 16, 32, 64, 128):
-        jax.block_until_ready(ac(jax.device_put(np.zeros((b, C.MAX_BLOCK_SIZE), np.int16))))
+    # limb variants: 4 limbs for int16 uploads, 5 for in-domain int32
+    # (the group path's buckets, encoder._GroupJob.dispatch_autocorr)
+    for nl, dt in ((4, np.int16), (5, np.int32)):
+        ac = E._jitted_autocorr(12, nl)
+        for b in (1, 2, 4, 8, 16, 32, 64, 128):
+            jax.block_until_ready(ac(jax.device_put(np.zeros((b, C.MAX_BLOCK_SIZE), dt))))
     print(f"autocorr buckets: {time.time() - t0:.1f}s", flush=True)
     from lac_tpu.runtime.native import native_available
 
