@@ -105,6 +105,22 @@ def test_mixed_group_splices_ladder_lanes(shim):
         assert payloads[row] == ref_encode(shim, group[row]), f"row {row}"
 
 
+def test_out_of_domain_jax_group_matches_numpy(shim):
+    """A jax-backend group whose values exceed the 24-bit MXU-autocorr
+    domain must route through the exact int64 lag path (nlimbs=0,
+    encoder._GroupJob.dispatch_autocorr) and stay byte-identical."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(99)
+    x = rng.standard_normal(16384)
+    for _ in range(3):
+        x = 0.7 * x + 0.3 * np.concatenate([[0.0], x[:-1]])
+    pcm = np.clip(x * 1.9e9, -2**31, 2**31 - 1).astype(np.int64).astype(np.int32)
+    ours = ChannelBlockEncoder(xp=jnp).encode_group(pcm[None, :])[0]
+    assert ours == ChannelBlockEncoder().encode_group(pcm[None, :])[0]
+    assert ours == ref_encode(shim, pcm)
+
+
 def test_random_out_of_domain_differential(shim):
     enc = ChannelBlockEncoder()
     for seed in range(24):
