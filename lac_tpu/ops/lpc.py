@@ -65,21 +65,31 @@ def autocorrelation_limbs(x, max_order, nlimbs, xp=np):
     """Exact autocorrelation as 5-bit-limb Gram matmuls (MXU path).
 
     Byte-identical to :func:`autocorrelation` for ``|x| < 2^(5*nlimbs-1)``
-    but runs on the TPU MXU instead of emulated-int64 VPU loops:
+    but with the lag arithmetic on the TPU MXU instead of emulated-int64
+    VPU loops:
 
     * ``x = sum_a limb_a(x) * 2^(5a)`` with unsigned 5-bit low limbs and
       an arithmetic-shift signed top limb — every limb value is <= 31 in
       magnitude, hence **exact in bfloat16**;
-    * lag products become limb-pair dot products ``G[k,a,b] =
-      sum_n limb_a[n-k] * limb_b[n]``, computed by ``dot_general`` with
-      f32 accumulation. Every product is an integer < 2^10 and every
-      partial sum an integer <= L * 961 <= 16384 * 961 < 2^24, so f32
+    * each lag becomes a limb-pair Gram ``G_k[a,b] = sum_n limb_a[n-k] *
+      limb_b[n]``, one batched ``dot_general`` per lag with f32
+      accumulation. Every product is an integer < 2^10 and every partial
+      sum an integer <= L * 961 <= 16384 * 961 < 2^24, so f32
       accumulation is exact in any order;
     * the tiny (.., max_order+1, nl, nl) Gram recombines in int64 with
       weights ``2^(5(a+b))`` — exact for 24-bit blocks (|R| < 2^60, as
       in the reference's int64 accumulation, lpc.cpp:80-96).
 
     Requires ``L <= 16384`` (= MAX_BLOCK_SIZE) for the 2^24 bound.
+
+    Measured (v5e, (512, 16384) int16-domain, best-of-6 warm incl ~10 ms
+    tunnel RTT): 27.3 ms vs 28.1 ms for the int64 formulation — autocorr
+    is inner-product-shaped with reuse factor max_order+1, so batched
+    small-output matmuls pay per-instance overhead that cancels most of
+    the arithmetic win; this per-lag form is the best of four measured
+    variants (a single (.., L, 13*nl) concat + one matmul was 20% SLOWER
+    than int64: the minor-most 52-wide axis pads to 128 in bf16 tiling,
+    and a biased u32-split VPU form tied int64 exactly).
     """
     lead = x.shape[:-1]
     L = x.shape[-1]
@@ -96,28 +106,29 @@ def autocorrelation_limbs(x, max_order, nlimbs, xp=np):
         if a < nlimbs - 1:
             la = la & xp.int32(31)
         limbs.append(la.astype(ldt))
-    Lm = xp.stack(limbs, axis=-1)  # (..., L, nl) — limb feature axis
+    Lm = xp.stack(limbs, axis=-2)  # (..., nl, L) — L minor-most: clean tiling
     nl = nlimbs
     nk = max_order + 1
-    # lagged copies via one front-pad + static slices (x[n-k] = 0, n < k)
-    pad = [(0, 0)] * (Lm.ndim - 2) + [(max_order, 0), (0, 0)]
+    # lagged operands via one front-pad + static slices (x[n-k] = 0, n < k)
+    pad = [(0, 0)] * (Lm.ndim - 2) + [(0, 0), (max_order, 0)]
     Lp = xp.pad(Lm, pad)
-    Xb = xp.concatenate(
-        [Lp[..., max_order - k : max_order - k + L, :] for k in range(nk)], axis=-1
-    )  # (..., L, nk*nl)
-    if is_jax(xp):
-        import jax
-        import jax.numpy as jnp
+    nb = len(lead)
+    outs = []
+    for k in range(nk):
+        Lk = Lp[..., max_order - k : max_order - k + L]
+        if is_jax(xp):
+            import jax
+            import jax.numpy as jnp
 
-        nb = len(lead)
-        G = jax.lax.dot_general(
-            Xb, Lm,
-            dimension_numbers=(((nb,), (nb,)), (tuple(range(nb)), tuple(range(nb)))),
-            preferred_element_type=jnp.float32,
-        )  # (..., nk*nl, nl)
-    else:
-        G = np.einsum("...na,...nb->...ab", Xb.astype(np.float32), Lm.astype(np.float32))
-    G = G.astype(xp.int64).reshape(lead + (nk, nl, nl))
+            G = jax.lax.dot_general(
+                Lk, Lm,
+                dimension_numbers=(((nb + 1,), (nb + 1,)), (tuple(range(nb)), tuple(range(nb)))),
+                preferred_element_type=jnp.float32,
+            )  # (..., nl, nl)
+        else:
+            G = np.einsum("...an,...bn->...ab", Lk.astype(np.float32), Lm.astype(np.float32))
+        outs.append(G)
+    G = xp.stack(outs, axis=-3).astype(xp.int64)  # (..., nk, nl, nl)
     w = (np.arange(nl, dtype=np.int64)[:, None] + np.arange(nl, dtype=np.int64)[None, :])
     weights = xp.asarray((np.int64(1) << (5 * w)).reshape(nl * nl))
     return xp.sum(G.reshape(lead + (nk, nl * nl)) * weights, axis=-1)
