@@ -279,6 +279,7 @@ def device_child(td):
         "value": round(ours_fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3) if vs else None,
+        "realtime_x": round(ours_fps / SR, 1),
     }
     emit(result)  # HEADLINE: lands before any optional extras
 
@@ -295,6 +296,7 @@ def device_child(td):
         long_fps, long_ref, long_parity, long_dec = bench_long(enc)
         result["long_frames"] = LONG_FRAMES
         result["long_value"] = round(long_fps, 1)
+        result["long_realtime_x"] = round(long_fps / SR, 1)
         if long_dec:
             result["long_decode_value"] = round(long_dec, 1)
         if long_ref:
@@ -383,6 +385,7 @@ def main():
         "value": round(nat_fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(vs_nat, 3) if vs_nat else None,
+        "realtime_x": round(nat_fps / SR, 1),
         "path": "native-fallback",
         "note": "device path did not finish in budget; see docs/benchmarks.md",
     }
