@@ -508,6 +508,117 @@ class FrameDecoder:
             raise DecodeError("[decode-error] stereo channel size mismatch")
         return left, right, hdr
 
+    def decode_range(self, data: bytes, start: int, count: int):
+        """Random-access decode of ``count`` frames starting at frame
+        ``start`` -> (left, right, FrameHeader), arrays of length
+        ``count``.
+
+        v3 streams decode ONLY the blocks overlapping the range: the
+        per-block compressed-size table makes every block independently
+        decodable (docs/format.md "block table"; the same property the
+        reference's parallel decoder and mmap fast path exploit,
+        lac/decoder.cpp:236-292), so seeking into an hours-long file
+        costs O(range), not O(file) — corruption outside the requested
+        range is never even read. v2 streams have no payload-size table
+        (blocks are not byte-bounded), so they fall back to a full
+        decode + slice, like the reference's serial v2 path.
+
+        Raises DecodeError on invalid input inside the decoded blocks
+        and ValueError on a range outside the stream.
+        """
+        hdr, br, payload, block_sizes, payload_sizes = self._parse_frame(data)
+        total = sum(block_sizes)
+        if start < 0 or count < 0 or start + count > total:
+            raise ValueError(
+                f"range [{start}, {start + count}) outside stream of {total} samples"
+            )
+        is_stereo = hdr.channels == 2
+        empty = np.empty(0, np.int32)
+        if count == 0:
+            return empty, (empty.copy() if is_stereo else empty), hdr
+        if hdr.version < 3:
+            left, right, hdr = self.decode(data)
+            rr = right[start : start + count] if is_stereo else right
+            return left[start : start + count], rr, hdr
+
+        if br.bits_remaining() % 8 != 0:
+            raise DecodeError("[decode-error] unaligned compressed block payload")
+        avail = br.bits_remaining() // 8
+        if sum(payload_sizes) != avail:
+            raise DecodeError("[decode-error] compressed block sizes do not match frame payload")
+        block_payload = payload[len(payload) - avail :]
+        sample_off = np.concatenate([[0], np.cumsum(np.asarray(block_sizes, np.int64))])
+        payload_off = np.concatenate([[0], np.cumsum(np.asarray(payload_sizes, np.int64))])
+        b0 = int(np.searchsorted(sample_off, start, side="right") - 1)
+        b1 = int(np.searchsorted(sample_off, start + count, side="left"))
+        nsub = int(sample_off[b1] - sample_off[b0])
+        sub_sizes = block_sizes[b0:b1]
+        sub_psizes = payload_sizes[b0:b1]
+        sub_payload = block_payload[int(payload_off[b0]) : int(payload_off[b1])]
+        sub_poff = (payload_off[b0:b1] - payload_off[b0]).astype(np.int64)
+        sub_soff = (sample_off[b0:b1] - sample_off[b0]).astype(np.int64)
+
+        per_block = is_stereo and hdr.stereo_mode == C.STEREO_PER_BLOCK
+        force_ms = is_stereo and hdr.stereo_mode == C.STEREO_MS
+
+        def decode_one(ib, out_l, out_r):
+            """Python decode of subrange block ib (canonical messages)."""
+            sub = sub_payload[int(sub_poff[ib]) : int(sub_poff[ib]) + sub_psizes[ib]]
+            reader = BitReader(sub)
+            mid_side = force_ms
+            if per_block:
+                flag = reader.read_bits(8)
+                if reader.has_error() or flag > 1:
+                    raise DecodeError("[decode-error] invalid per-block stereo flag")
+                mid_side = flag == 1
+            sz = sub_sizes[ib]
+            off = int(sub_soff[ib])
+            a = decode_channel_block(reader, sz)
+            if a is None:
+                raise DecodeError(f"[decode-error] block={b0 + ib} channel=primary")
+            if is_stereo:
+                b = decode_channel_block(reader, sz)
+                if b is None:
+                    raise DecodeError(f"[decode-error] block={b0 + ib} channel=secondary")
+            if reader.bits_remaining() != 0:
+                raise DecodeError(f"[decode-error] block={b0 + ib} channel=trailing-payload")
+            if not is_stereo:
+                if not _validate_pcm_range(a, hdr.bit_depth):
+                    raise DecodeError("[decode-error] decoded sample outside PCM bit depth")
+                out_l[off : off + sz] = a
+                return
+            if mid_side:
+                a, b = ms_inverse(a, b)
+            if not (_validate_pcm_range(a, hdr.bit_depth) and _validate_pcm_range(b, hdr.bit_depth)):
+                raise DecodeError("[decode-error] decoded sample outside PCM bit depth")
+            out_l[off : off + sz] = a
+            out_r[off : off + sz] = b
+
+        left = right = None
+        if self.use_native and self.backend != "device":
+            from .runtime.native import decode_v3_blocks_native
+
+            try:
+                res = decode_v3_blocks_native(
+                    sub_payload, sub_poff, sub_psizes, sub_sizes, sub_soff,
+                    hdr.channels, hdr.stereo_mode, hdr.bit_depth, nsub,
+                    self.thread_count,
+                )
+            except ValueError as e:
+                bad = int(str(e).split("=")[1])
+                decode_one(bad, np.zeros(nsub, np.int32), np.zeros(nsub, np.int32))
+                raise DecodeError(f"[decode-error] block={b0 + bad} channel=primary")
+            if res is not None:
+                left, right = res
+        if left is None:
+            left = np.zeros(nsub, np.int32)
+            right = np.zeros(nsub if is_stereo else 0, np.int32)
+            for ib in range(b1 - b0):
+                decode_one(ib, left, right)
+        lo = start - int(sample_off[b0])
+        rr = right[lo : lo + count] if is_stereo else right
+        return left[lo : lo + count], rr, hdr
+
     def decode_to_wav(self, data: bytes, path: str):
         """Memory-bounded decode straight into a WAV file at ``path``.
 
