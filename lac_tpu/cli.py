@@ -133,11 +133,32 @@ def _cmd_encode(argv) -> int:
             thread_count = n
     thread_count = _resolve_threads(thread_count)
 
-    wav = read_wav(in_path)
-    if wav is None:
-        sys.stderr.write(f"Failed to read WAV: {in_path}\n")
-        return 1
-    left, right, channels, sample_rate, bit_depth = wav
+    # bounded-memory routing: inputs at/above LAC_TPU_STREAM_BLOCKS
+    # blocks (default 2048 = 33.5M frames) stream chunk-of-blocks at a
+    # time instead of loading the whole PCM; output bytes are identical
+    # (tests/test_stream_encode.py). Debug flags print per-block data,
+    # so they keep the single-pass in-memory path.
+    any_debug = debug_zr or debug_lpc or debug_stereo_est or debug_partitions
+    stream_info = None
+    stream_threshold = int(os.environ.get("LAC_TPU_STREAM_BLOCKS", "2048"))
+    if not any_debug and stream_threshold > 0:
+        from .stream import scan_wav
+
+        info = scan_wav(in_path)
+        if info is not None and -(-info.frames // C.MAX_BLOCK_SIZE) >= stream_threshold:
+            stream_info = info
+
+    if stream_info is not None:
+        left = right = None
+        channels = stream_info.channels
+        sample_rate = stream_info.sample_rate
+        bit_depth = stream_info.bit_depth
+    else:
+        wav = read_wav(in_path)
+        if wav is None:
+            sys.stderr.write(f"Failed to read WAV: {in_path}\n")
+            return 1
+        left, right, channels, sample_rate, bit_depth = wav
     effective_mode = 0 if channels == 1 else stereo_mode
     xp = _encoder_xp()
     encoder = FrameEncoder(12, effective_mode, sample_rate, bit_depth, xp=xp)
@@ -159,6 +180,23 @@ def _cmd_encode(argv) -> int:
         from .runtime.native import thread_collector_reset
 
         thread_collector_reset()
+    if stream_info is not None:
+        from .stream import encode_wav_to_lac
+
+        with StagedOutputFile(out_path) as staged:
+            nbytes = None
+            if staged.is_ready():
+                try:
+                    nbytes = encode_wav_to_lac(in_path, staged.path(), effective_mode,
+                                               encoder=encoder)
+                except OSError:
+                    nbytes = None
+            if nbytes is None or not staged.publish(in_path):
+                sys.stderr.write(f"Failed to write LAC file: {out_path}\n")
+                return 1
+        sys.stdout.write(f"Encoded {in_path} -> {out_path} ({nbytes} bytes)\n")
+        _report_threads(debug_threads)
+        return 0
     bitstream = encoder.encode(left, right)
     if debug_zr:
         baseline = FrameEncoder(12, effective_mode, sample_rate, bit_depth, xp=xp)
@@ -183,17 +221,22 @@ def _cmd_encode(argv) -> int:
             sys.stderr.write(f"Failed to write LAC file: {out_path}\n")
             return 1
     sys.stdout.write(f"Encoded {in_path} -> {out_path} ({len(bitstream)} bytes)\n")
-    if debug_threads:
-        from .runtime.native import thread_collector_count
-
-        # measured distinct worker ids from the native pools (reference
-        # ThreadCollector, main.cpp:699-708); pure-Python paths run on
-        # the calling thread only
-        workers = max(1, thread_collector_count())
-        sys.stdout.write(f"Thread usage: {workers} threads\n")
-        if workers <= 1:
-            sys.stdout.write("WARNING: Multi-threading not active (single-threaded execution).\n")
+    _report_threads(debug_threads)
     return 0
+
+
+def _report_threads(debug_threads: bool):
+    if not debug_threads:
+        return
+    from .runtime.native import thread_collector_count
+
+    # measured distinct worker ids from the native pools (reference
+    # ThreadCollector, main.cpp:699-708); pure-Python paths run on
+    # the calling thread only
+    workers = max(1, thread_collector_count())
+    sys.stdout.write(f"Thread usage: {workers} threads\n")
+    if workers <= 1:
+        sys.stdout.write("WARNING: Multi-threading not active (single-threaded execution).\n")
 
 
 def _cmd_decode(argv) -> int:
