@@ -4,11 +4,15 @@ Prints a headline JSON line IMMEDIATELY after the core measurement:
     {"metric": "encode_throughput", "value": <frames/s>, "unit": "frames/s",
      "vs_baseline": <ours / reference-CPU>}
 then (wall-clock budget permitting, env LAC_BENCH_BUDGET_S, default 540)
-runs decode and long-file extras and prints ONE enriched final line with
-the same keys plus decode_*/long_* fields.  The driver's record therefore
-always contains a parseable line with the headline metric, whether it
-reads the first JSON line or the last, and whether or not the extras had
-time to run.
+runs decode and long-file extras, re-emitting progressively enriched
+lines (same keys plus decode_*/long_* fields) after each stage so a
+stage that overruns the budget can never lose an earlier stage's
+numbers. The long file scales itself to the budget left (50 M frames /
+3 seeds / live reference when >280 s remain; 16.8 M frames / 1 seed /
+recorded baseline down to 120 s) instead of skipping. The driver's
+record therefore always contains a parseable line with the headline
+metric, whether it reads the first JSON line or the last, and whether
+or not the extras had time to run.
 
 The corpus is deterministic music-like stereo audio (sum of gliding
 sines + filtered noise, 44.1 kHz / 16-bit). The reference baseline is
@@ -127,8 +131,10 @@ def bench_ours(left, right, repeats=10, stage_budget_frac=0.72):
         enc.encode(lp, right)
         best = min(best, time.perf_counter() - t0)
         # best-of-N rides out tunnel variance, but never at the cost of
-        # the headline line landing inside the driver's budget
-        if i >= 1 and remaining() < (1 - stage_budget_frac) * BUDGET_S:
+        # the headline line landing inside the driver's budget, and
+        # always leaving room for the decode + scaled long-file extras
+        # (~170 s: see device_child's stage gates)
+        if i >= 1 and remaining() < max((1 - stage_budget_frac) * BUDGET_S, 170.0):
             break
     bitstream = enc.encode(left, right)  # parity-gated stream
     return enc, bitstream, FRAMES / best
@@ -168,7 +174,7 @@ def make_long(seed=52, frames=LONG_FRAMES):
     return left, right
 
 
-def bench_long(enc, reserve_s=90.0):
+def bench_long(enc, frames=LONG_FRAMES, seeds=(52, 53, 54), reserve_s=90.0):
     """-> (ours frames/s, reference frames/s or None, parity ok or None,
     decode frames/s or None).
 
@@ -184,15 +190,15 @@ def bench_long(enc, reserve_s=90.0):
     enc.encode(left, right)
     best = float("inf")
     bs = None
-    for seed in (52, 53, 54):
-        left, right = make_long(seed)
+    for seed in seeds:
+        left, right = make_long(seed, frames=frames)
         t0 = time.perf_counter()
         bs = enc.encode(left, right)
         dt = time.perf_counter() - t0
         best = min(best, dt)
         if remaining() < reserve_s + dt + 15:
             break
-    ours_fps = LONG_FRAMES / best
+    ours_fps = frames / best
     dec_fps = None
     if remaining() > 30:
         from lac_tpu.decoder import FrameDecoder
@@ -200,7 +206,7 @@ def bench_long(enc, reserve_s=90.0):
         with tempfile.TemporaryDirectory() as td:
             t0 = time.perf_counter()
             FrameDecoder().decode_to_wav(bs, f"{td}/long_dec.wav")
-            dec_fps = LONG_FRAMES / (time.perf_counter() - t0)
+            dec_fps = frames / (time.perf_counter() - t0)
     if not REF.exists() or remaining() < reserve_s:
         return ours_fps, None, None, dec_fps
     from lac_tpu.io import write_wav
@@ -211,7 +217,7 @@ def bench_long(enc, reserve_s=90.0):
         write_wav(wav, left, right, 2, SR, 16)
         t0 = time.perf_counter()
         subprocess.run([str(REF), "encode", wav, lac], check=True, capture_output=True)
-        ref_fps = LONG_FRAMES / (time.perf_counter() - t0)
+        ref_fps = frames / (time.perf_counter() - t0)
         parity = open(lac, "rb").read() == bs
     return ours_fps, ref_fps, parity, dec_fps
 
@@ -283,18 +289,30 @@ def device_child(td):
     }
     emit(result)  # HEADLINE: lands before any optional extras
 
-    enriched = False
     if remaining() > 45 and os.environ.get("LAC_BENCH_SKIP_DECODE") != "1":
         dec_fps, dec_ref = bench_decode(bitstream)
         result["decode_value"] = round(dec_fps, 1)
         if dec_ref:
             result["decode_vs_baseline"] = round(dec_fps / dec_ref, 3)
-        enriched = True
+        emit(result)  # decode-enriched: lands even if the long stage is cut
     if os.environ.get("LAC_BENCH_SKIP_LONG") == "1":
         result["long_skipped"] = "env"
-    elif remaining() > 280:  # long-shape executable loads + gen + ref need ~250s
-        long_fps, long_ref, long_parity, long_dec = bench_long(enc)
-        result["long_frames"] = LONG_FRAMES
+    elif remaining() > 120:
+        # scale the long file to the budget left: the full 50 M-frame /
+        # 3-seed / live-reference form needs ~250 s (long-shape
+        # executable loads + gen + ref encode); with less left, a
+        # 16.8 M-frame single-seed run against the recorded same-host
+        # baseline still puts the long-file multiple in the record
+        # (frames/s is length-comparable: both engage the K=256 ladder)
+        full = remaining() > 280
+        frames = LONG_FRAMES if full else 16384 * 1024
+        long_fps, long_ref, long_parity, long_dec = bench_long(
+            enc,
+            frames=frames,
+            seeds=(52, 53, 54) if full else (52,),
+            reserve_s=90.0 if full else 30.0,
+        )
+        result["long_frames"] = frames
         result["long_value"] = round(long_fps, 1)
         result["long_realtime_x"] = round(long_fps / SR, 1)
         if long_dec:
@@ -313,11 +331,9 @@ def device_child(td):
         if long_parity is False:
             result["error"] = "long-file bitstream parity FAILED"
             result["vs_baseline"] = 0.0
-        enriched = True
     else:
         result["long_skipped"] = "budget"
-    if enriched:
-        emit(result)  # final enriched line (superset of the headline keys)
+    emit(result)  # final enriched line (superset of the headline keys)
     return 0
 
 
