@@ -81,33 +81,23 @@ def _variant(left, i):
 
 
 def bench_native(left, right, repeats=3):
-    """One-shot host path (the cold-route CLI contract): native C++
-    planner+emitter, loads NO device executables. Fast to measure and
-    immune to tunnel state — the guaranteed-headline fallback."""
+    """One-shot host path (the cold-route CLI contract): xp=np routes
+    every group through the native C++ planner+emitter
+    (encoder._GroupJob.dispatch_plan), loads NO device executables and
+    never imports jax — the parent process stays wedge-immune even when
+    JAX_PLATFORMS is unset (encoder._cold_route would otherwise call
+    jax.default_backend(), which blocks in PJRT init on a wedged
+    tunnel), and CPU-only hosts measure the real native path too."""
     from lac_tpu.encoder import FrameEncoder
 
-    try:
-        import jax.numpy as jnp
-
-        xp = jnp
-    except Exception:
-        xp = np
-    prev = os.environ.get("LAC_TPU_COLD_BLOCKS")
-    os.environ["LAC_TPU_COLD_BLOCKS"] = "1000000000"
-    try:
-        enc = FrameEncoder(12, 2, SR, 16, xp=xp)
-        bitstream = enc.encode(left, right)
-        best = float("inf")
-        for i in range(repeats):
-            lp = _variant(left, i)
-            t0 = time.perf_counter()
-            enc.encode(lp, right)
-            best = min(best, time.perf_counter() - t0)
-    finally:
-        if prev is None:
-            os.environ.pop("LAC_TPU_COLD_BLOCKS", None)
-        else:
-            os.environ["LAC_TPU_COLD_BLOCKS"] = prev
+    enc = FrameEncoder(12, 2, SR, 16, xp=np)
+    bitstream = enc.encode(left, right)
+    best = float("inf")
+    for i in range(repeats):
+        lp = _variant(left, i)
+        t0 = time.perf_counter()
+        enc.encode(lp, right)
+        best = min(best, time.perf_counter() - t0)
     return bitstream, FRAMES / best
 
 
@@ -386,10 +376,10 @@ def main():
         except Exception:
             ref_fps = None
 
-    # guaranteed fallback FIRST: the native host path loads no device
-    # executables (encoder._cold_route pins xp=np), so it always produces
-    # an honest parity-gated number in seconds, even with the tunnel to
-    # the device completely wedged.
+    # guaranteed fallback FIRST: the native host path (xp=np, no jax
+    # import at all in this process) loads no device executables, so it
+    # always produces an honest parity-gated number in seconds, even
+    # with the tunnel to the device completely wedged.
     nat_bs, nat_fps = bench_native(left, right)
     if ref_bytes is not None and ref_bytes != nat_bs:
         emit({"metric": "encode_throughput", "value": 0.0, "unit": "frames/s",

@@ -140,7 +140,10 @@ def _cmd_encode(argv) -> int:
     # so they keep the single-pass in-memory path.
     any_debug = debug_zr or debug_lpc or debug_stereo_est or debug_partitions
     stream_info = None
-    stream_threshold = int(os.environ.get("LAC_TPU_STREAM_BLOCKS", "2048"))
+    try:
+        stream_threshold = int(os.environ.get("LAC_TPU_STREAM_BLOCKS", "2048"))
+    except ValueError:
+        stream_threshold = 2048
     if not any_debug and stream_threshold > 0:
         from .stream import scan_wav
 
@@ -181,17 +184,24 @@ def _cmd_encode(argv) -> int:
 
         thread_collector_reset()
     if stream_info is not None:
-        from .stream import encode_wav_to_lac
+        from .stream import WavReadError, encode_wav_to_lac
 
         with StagedOutputFile(out_path) as staged:
-            nbytes = None
-            if staged.is_ready():
-                try:
-                    nbytes = encode_wav_to_lac(in_path, staged.path(), effective_mode,
-                                               encoder=encoder)
-                except OSError:
-                    nbytes = None
-            if nbytes is None or not staged.publish(in_path):
+            if not staged.is_ready():
+                sys.stderr.write(f"Failed to write LAC file: {out_path}\n")
+                return 1
+            try:
+                nbytes = encode_wav_to_lac(in_path, staged.path(), effective_mode,
+                                           encoder=encoder, info=stream_info)
+            except WavReadError:
+                nbytes = None  # input broke/changed mid-encode: a read failure
+            except OSError:
+                sys.stderr.write(f"Failed to write LAC file: {out_path}\n")
+                return 1
+            if nbytes is None:
+                sys.stderr.write(f"Failed to read WAV: {in_path}\n")
+                return 1
+            if not staged.publish(in_path):
                 sys.stderr.write(f"Failed to write LAC file: {out_path}\n")
                 return 1
         sys.stdout.write(f"Encoded {in_path} -> {out_path} ({nbytes} bytes)\n")

@@ -285,7 +285,6 @@ class _ChunkJob:
                     o = 0
                 nl = pipe.nplanes * K
                 lags = buf[o : o + nl * 13].reshape(nl, 13)
-                self._plags = None
             else:
                 lags = np.asarray(self.dev["lags"])
                 if pipe.kind == "auto":
@@ -293,7 +292,6 @@ class _ChunkJob:
                     un = np.asarray(self.dev["un"])[:kc]
                 else:
                     cm = un = None
-                self._plags = None
         self.cm, self.un = cm, un
 
         # full-lane row list: (flat plane row, local block, variant, slot)
@@ -386,7 +384,7 @@ class _ChunkJob:
         from .encoder import _jitted_plan, lpc_candidates_from_lags
 
         pipe, K = self.pipe, self.pipe.K
-        plags = self._plags if self._plags is not None else np.asarray(self.dev["plags"])
+        plags = np.asarray(self.dev["plags"])
         # probe row layout inside (4, Kl, 3, PROBE).reshape(-1, PROBE)
         # (plane-major on one device, shard-major under a mesh):
         rows, recs = [], []

@@ -32,6 +32,11 @@ from .format.header import FrameHeader
 from .io.wav import _sign_extend
 
 
+class WavReadError(OSError):
+    """The WAV input failed or changed mid-encode (truncated read, or
+    the re-encoded chunk no longer matches the scanned layout)."""
+
+
 @dataclass
 class WavInfo:
     """Result of a streaming RIFF walk: where the PCM lives."""
@@ -155,7 +160,7 @@ def read_pcm_frames(f, info: WavInfo, start: int, count: int):
     f.seek(info.data_offset + start * align)
     raw = f.read(count * align)
     if len(raw) != count * align:
-        raise OSError("WAV data chunk truncated mid-read")
+        raise WavReadError("WAV data chunk truncated mid-read")
     if info.bit_depth == 16:
         flat = np.frombuffer(raw, dtype="<i2", count=count * info.channels)
         samples = flat.astype(np.int32).reshape(count, info.channels)
@@ -177,7 +182,10 @@ def read_pcm_frames(f, info: WavInfo, start: int, count: int):
 
 
 def _default_chunk_blocks() -> int:
-    return int(os.environ.get("LAC_TPU_STREAM_CHUNK_BLOCKS", "512"))
+    try:
+        return int(os.environ.get("LAC_TPU_STREAM_CHUNK_BLOCKS", "512"))
+    except ValueError:
+        return 512
 
 
 def encode_wav_to_lac(
@@ -192,6 +200,7 @@ def encode_wav_to_lac(
     partitioning_enabled: bool = True,
     xp=None,
     mesh=None,
+    info=None,
 ):
     """Encode a WAV file into a .lac file with O(chunk) memory.
 
@@ -201,17 +210,21 @@ def encode_wav_to_lac(
     preconfigured ``FrameEncoder`` via ``encoder`` to reuse warm device
     executables across files (its sample_rate/bit_depth/stereo_mode
     must match the input; when omitted one is built from the WAV
-    header and the keyword settings).
+    header and the keyword settings). ``info`` skips the RIFF walk when
+    the caller already holds this path's ``scan_wav`` result.
 
     Returns the total number of .lac bytes written, or None when the
     input is not a valid WAV (mirror of ``read_wav``'s failure). Raises
-    the same errors as ``FrameEncoder.encode`` for out-of-range PCM and
-    OSError on write failure; callers publish via staged output, so a
-    partial file never clobbers anything.
+    the same errors as ``FrameEncoder.encode`` for out-of-range PCM,
+    ``WavReadError`` when the input breaks or changes mid-encode, and
+    OSError on write failure. Output is written to a same-directory
+    temp file and atomically renamed onto ``out_path`` only on success,
+    so a failed encode never leaves a partial or corrupt output.
     """
     from .encoder import FrameEncoder
 
-    info = scan_wav(in_path)
+    if info is None:
+        info = scan_wav(in_path)
     if info is None:
         return None
     if chunk_blocks <= 0:
@@ -247,37 +260,47 @@ def encode_wav_to_lac(
     table[nblocks - 1, 0] = info.frames - (nblocks - 1) * C.MAX_BLOCK_SIZE
 
     total = 0
-    with open(in_path, "rb") as fin, open(out_path, "wb") as fout:
-        head = hdr.pack() + nblocks.to_bytes(4, "big")
-        fout.write(head)
-        table_pos = len(head)
-        fout.write(table.tobytes())  # placeholder: compressed sizes 0
-        total = table_pos + table.nbytes
+    tmp_path = f"{out_path}.tmp-{os.getpid()}"
+    try:
+        with open(in_path, "rb") as fin, open(tmp_path, "wb") as fout:
+            head = hdr.pack() + nblocks.to_bytes(4, "big")
+            fout.write(head)
+            table_pos = len(head)
+            fout.write(table.tobytes())  # placeholder: compressed sizes 0
+            total = table_pos + table.nbytes
 
-        for b0 in range(0, nblocks, chunk_blocks):
-            b1 = min(b0 + chunk_blocks, nblocks)
-            s0 = b0 * C.MAX_BLOCK_SIZE
-            s1 = min(b1 * C.MAX_BLOCK_SIZE, info.frames)
-            left, right = read_pcm_frames(fin, info, s0, s1 - s0)
-            frame = encoder.encode(left, right)
+            for b0 in range(0, nblocks, chunk_blocks):
+                b1 = min(b0 + chunk_blocks, nblocks)
+                s0 = b0 * C.MAX_BLOCK_SIZE
+                s1 = min(b1 * C.MAX_BLOCK_SIZE, info.frames)
+                left, right = read_pcm_frames(fin, info, s0, s1 - s0)
+                frame = encoder.encode(left, right)
 
-            # the chunk is itself a well-formed mini-frame; keep only
-            # its per-block payloads and table rows
-            nb = int.from_bytes(frame[C.HEADER_BYTES : C.HEADER_BYTES + 4], "big")
-            if nb != b1 - b0:
-                raise RuntimeError("chunk encode produced an unexpected block count")
-            sub = np.frombuffer(
-                frame, dtype=">u4", count=2 * nb, offset=C.HEADER_BYTES + 4
-            ).reshape(nb, 2)
-            if not np.array_equal(sub[:, 0], table[b0:b1, 0]):
-                raise RuntimeError("chunk encode produced unexpected block sizes")
-            payload = frame[C.HEADER_BYTES + 4 + 8 * nb :]
-            if int(sub[:, 1].sum()) != len(payload):
-                raise RuntimeError("chunk table does not cover its payload")
-            table[b0:b1, 1] = sub[:, 1]
-            fout.write(payload)
-            total += len(payload)
+                # the chunk is itself a well-formed mini-frame; keep
+                # only its per-block payloads and table rows (any
+                # mismatch means the input changed under us)
+                nb = int.from_bytes(frame[C.HEADER_BYTES : C.HEADER_BYTES + 4], "big")
+                if nb != b1 - b0:
+                    raise WavReadError("chunk encode produced an unexpected block count")
+                sub = np.frombuffer(
+                    frame, dtype=">u4", count=2 * nb, offset=C.HEADER_BYTES + 4
+                ).reshape(nb, 2)
+                if not np.array_equal(sub[:, 0], table[b0:b1, 0]):
+                    raise WavReadError("chunk encode produced unexpected block sizes")
+                payload = frame[C.HEADER_BYTES + 4 + 8 * nb :]
+                if int(sub[:, 1].sum()) != len(payload):
+                    raise WavReadError("chunk table does not cover its payload")
+                table[b0:b1, 1] = sub[:, 1]
+                fout.write(payload)
+                total += len(payload)
 
-        fout.seek(table_pos)
-        fout.write(table.tobytes())
+            fout.seek(table_pos)
+            fout.write(table.tobytes())
+        os.replace(tmp_path, out_path)
+    except BaseException:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+        raise
     return total

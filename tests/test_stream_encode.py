@@ -163,6 +163,41 @@ def test_stream_rejects_malformed(tmp_path):
     assert encode_wav_to_lac(p, str(tmp_path / "bad.lac")) is None
 
 
+def test_stream_failure_never_clobbers_output(tmp_path):
+    """A mid-encode input failure must leave a pre-existing out_path
+    byte-identical and no temp litter (direct-API crash safety)."""
+    from lac_tpu.stream import WavReadError
+
+    left = lcg_noise(B + 70, 9000, 41)
+    wav = str(tmp_path / "ok.wav")
+    assert write_wav(wav, left, EMPTY, 1, 44100, 16)
+    info = scan_wav(wav)
+    assert info is not None
+    # truncate a copy mid-data, but hand over the full-file scan result:
+    # the chunked read hits EOF -> WavReadError
+    raw = open(wav, "rb").read()
+    cut = str(tmp_path / "cut.wav")
+    open(cut, "wb").write(raw[: len(raw) - 1000])
+    out = str(tmp_path / "out.lac")
+    sentinel = b"precious bytes"
+    open(out, "wb").write(sentinel)
+    with pytest.raises(WavReadError):
+        encode_wav_to_lac(cut, out, 0, chunk_blocks=1, info=info)
+    assert open(out, "rb").read() == sentinel
+    assert [p.name for p in tmp_path.iterdir() if ".tmp-" in p.name] == []
+
+
+def test_stream_info_param_skips_rescan(tmp_path):
+    left = lcg_noise(2 * B, 7000, 8)
+    wav = str(tmp_path / "i.wav")
+    assert write_wav(wav, left, EMPTY, 1, 44100, 16)
+    info = scan_wav(wav)
+    out = str(tmp_path / "i.lac")
+    nbytes = encode_wav_to_lac(wav, out, 0, chunk_blocks=1, info=info)
+    assert nbytes == len(open(out, "rb").read())
+    assert open(out, "rb").read() == FrameEncoder(12, 0, 44100, 16).encode(left)
+
+
 def test_cli_streaming_route(tmp_path):
     """CLI routes big inputs through the streaming encoder when
     LAC_TPU_STREAM_BLOCKS is reached; bytes and message shape are
@@ -191,3 +226,9 @@ def test_cli_streaming_route(tmp_path):
     assert rs.returncode == 0 and rm.returncode == 0, (rs.stderr, rm.stderr)
     assert open(out_s, "rb").read() == open(out_m, "rb").read()
     assert rs.stdout.replace(out_s, "OUT") == rm.stdout.replace(out_m, "OUT")
+
+    # malformed env values fall back to defaults instead of crashing
+    out_g = str(tmp_path / "g.lac")
+    rg = run({"LAC_TPU_STREAM_BLOCKS": "abc", "LAC_TPU_STREAM_CHUNK_BLOCKS": "zzz"}, out_g)
+    assert rg.returncode == 0, rg.stderr
+    assert open(out_g, "rb").read() == open(out_m, "rb").read()
