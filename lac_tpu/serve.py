@@ -1,0 +1,243 @@
+"""Persistent warm-process codec service.
+
+The reference is a one-shot CLI (main.cpp:600-918): every invocation
+pays full process startup. On the TPU backend that cost is dominated by
+loading cached XLA executables (~60-90 s through the dev tunnel, see
+ROADMAP.md §1) — fine for one long file, hopeless for many short ones.
+This module keeps ONE process alive and routes any number of jobs
+through it: every jitted executable, the native runtime, and the device
+plane pipeline stay warm in the module-level caches, so the Nth file
+encodes at full device throughput with zero per-file setup.
+
+Usage:
+
+    python -m lac_tpu.serve [--workers=N] [--warm[=BLOCKS]]
+
+Protocol (line-oriented, stdin -> stdout, one JSON object per line):
+
+    encode <in.wav> <out.lac> [encode flags...]   # same flags as the CLI
+    decode <in.lac> <out.wav> [decode flags...]
+    warm [BLOCKS]        # synthetic encode to pull executables in now
+    wait                 # barrier: responds after all prior jobs finish
+    ping                 # liveness probe
+    quit                 # drain in-flight jobs, then exit 0 (EOF too)
+
+With ``--workers>1`` jobs run concurrently and finish in any order, so
+a piped script whose later jobs read earlier jobs' outputs (encode then
+decode the same file) must put ``wait`` between the phases.
+
+Responses (completion order when --workers>1; ``id`` is the 1-based
+request line number):
+
+    {"id": 1, "ok": true, "rc": 0, "message": "Encoded a.wav -> a.lac (123 bytes)", "ms": 41.7}
+    {"id": 2, "ok": false, "rc": 1, "error": "Failed to read WAV: missing.wav", "ms": 0.3}
+
+Paths with spaces use shell quoting (lines are shlex-split). Job
+execution reuses the CLI entry points verbatim, so staged atomic
+output, flag parsing, env resolution, and message shapes are identical
+to ``lac_cli`` — a failed job never clobbers an existing output file.
+"""
+
+import io
+import json
+import shlex
+import sys
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+__all__ = ["serve", "run_job", "warm_process"]
+
+
+class _ThreadRouter(io.TextIOBase):
+    """A stdout/stderr proxy that routes writes to a per-thread buffer
+    when one is registered, else to the real stream. Lets concurrent
+    jobs capture their CLI messages without interleaving."""
+
+    def __init__(self, fallback):
+        super().__init__()
+        self.fallback = fallback
+        self.local = threading.local()
+
+    def write(self, s):
+        buf = getattr(self.local, "buf", None)
+        (self.fallback if buf is None else buf).write(s)
+        return len(s)
+
+    def flush(self):
+        if getattr(self.local, "buf", None) is None:
+            self.fallback.flush()
+
+    def writable(self):
+        return True
+
+
+def run_job(argv):
+    """Run one CLI job vector (e.g. ["encode", "a.wav", "a.lac"]) in
+    this process; returns (rc, stdout_text, stderr_text)."""
+    from . import cli
+
+    out_router = sys.stdout if isinstance(sys.stdout, _ThreadRouter) else None
+    err_router = sys.stderr if isinstance(sys.stderr, _ThreadRouter) else None
+    out_buf, err_buf = io.StringIO(), io.StringIO()
+    if out_router is not None:
+        out_router.local.buf = out_buf
+    if err_router is not None:
+        err_router.local.buf = err_buf
+    try:
+        if out_router is None:  # direct library use, no serve loop active
+            from contextlib import redirect_stderr, redirect_stdout
+
+            with redirect_stdout(out_buf), redirect_stderr(err_buf):
+                rc = cli.main(argv)
+        else:
+            rc = cli.main(argv)
+    finally:
+        if out_router is not None:
+            out_router.local.buf = None
+        if err_router is not None:
+            err_router.local.buf = None
+    return rc, out_buf.getvalue(), err_buf.getvalue()
+
+
+def warm_process(blocks=128):
+    """Pull the hot executables into this process now by encoding a
+    synthetic stereo signal of ``blocks`` full blocks in memory (device
+    backends load their cached executables here instead of on the first
+    real job). No-op-cheap on the numpy backend."""
+    import numpy as np
+
+    from .cli import _encoder_xp
+    from .encoder import FrameEncoder
+    from .format import constants as C
+
+    n = int(blocks) * C.MAX_BLOCK_SIZE
+    rng = np.random.RandomState(7)
+    left = rng.randint(-(1 << 14), 1 << 14, n).astype(np.int32)
+    right = (left // 2 + rng.randint(-(1 << 8), 1 << 8, n)).astype(np.int32)
+    enc = FrameEncoder(12, C.STEREO_PER_BLOCK, 44100, 16, xp=_encoder_xp())
+    return len(enc.encode(left, right))
+
+
+def _respond(lock, out, obj):
+    line = json.dumps(obj, separators=(", ", ": "))
+    with lock:
+        out.write(line + "\n")
+        out.flush()
+
+
+def serve(argv=None, stdin=None, stdout=None):
+    """Run the service loop; returns the process exit code."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    workers = 1
+    warm_blocks = None
+    for flag in argv:
+        if flag.startswith("--workers="):
+            try:
+                workers = max(1, int(flag.split("=", 1)[1]))
+            except ValueError:
+                sys.stderr.write(f"Bad flag value: {flag}\n")
+                return 1
+        elif flag == "--warm":
+            warm_blocks = 128
+        elif flag.startswith("--warm="):
+            try:
+                warm_blocks = max(1, int(flag.split("=", 1)[1]))
+            except ValueError:
+                sys.stderr.write(f"Bad flag value: {flag}\n")
+                return 1
+        else:
+            sys.stderr.write(
+                "Usage: python -m lac_tpu.serve [--workers=N] [--warm[=BLOCKS]]\n"
+            )
+            return 1
+
+    stdin = sys.stdin if stdin is None else stdin
+    real_out = sys.stdout if stdout is None else stdout
+    lock = threading.Lock()
+
+    # route job-thread CLI prints into per-job buffers for the lifetime
+    # of the loop; protocol responses go to the real stream
+    prev_out, prev_err = sys.stdout, sys.stderr
+    sys.stdout = _ThreadRouter(prev_out)
+    sys.stderr = _ThreadRouter(prev_err)
+
+    if warm_blocks is not None:
+        t0 = time.perf_counter()
+        warm_process(warm_blocks)
+        _respond(lock, real_out, {
+            "id": 0, "ok": True, "warmed_blocks": warm_blocks,
+            "ms": round((time.perf_counter() - t0) * 1e3, 1),
+        })
+
+    pool = ThreadPoolExecutor(max_workers=workers)
+    outstanding = []
+
+    def handle(job_id, parts):
+        t0 = time.perf_counter()
+        try:
+            if parts[0] == "warm":
+                blocks = int(parts[1]) if len(parts) > 1 else 128
+                nbytes = warm_process(blocks)
+                res = {"id": job_id, "ok": True, "warmed_blocks": blocks,
+                       "bytes": nbytes}
+            else:
+                rc, out_text, err_text = run_job(parts)
+                res = {"id": job_id, "ok": rc == 0, "rc": rc}
+                if out_text.strip():
+                    res["message"] = out_text.strip()
+                if err_text.strip():
+                    res["error"] = err_text.strip()
+        except Exception as e:  # noqa: BLE001 — service boundary
+            res = {"id": job_id, "ok": False, "rc": 1, "error": str(e)}
+        res["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        _respond(lock, real_out, res)
+
+    try:
+        job_id = 0
+        for raw in stdin:
+            job_id += 1
+            try:
+                parts = shlex.split(raw, comments=True)
+            except ValueError as e:
+                _respond(lock, real_out,
+                         {"id": job_id, "ok": False, "rc": 1, "error": f"bad line: {e}"})
+                continue
+            if not parts:
+                job_id -= 1  # blank/comment lines don't consume an id
+                continue
+            cmd = parts[0]
+            if cmd == "quit":
+                break
+            if cmd == "ping":
+                _respond(lock, real_out, {"id": job_id, "ok": True, "pong": True})
+                continue
+            if cmd == "wait":
+                drained, outstanding[:] = list(outstanding), []
+                for fut in drained:
+                    fut.result()
+                _respond(lock, real_out,
+                         {"id": job_id, "ok": True, "drained": len(drained)})
+                continue
+            if cmd in ("encode", "decode", "warm"):
+                if cmd in ("encode", "decode") and len(parts) < 3:
+                    _respond(lock, real_out, {
+                        "id": job_id, "ok": False, "rc": 1,
+                        "error": f"usage: {cmd} <in> <out> [flags...]",
+                    })
+                    continue
+                outstanding.append(pool.submit(handle, job_id, parts))
+                if len(outstanding) > 4 * workers:  # keep the list bounded
+                    outstanding[:] = [f for f in outstanding if not f.done()]
+                continue
+            _respond(lock, real_out,
+                     {"id": job_id, "ok": False, "rc": 1,
+                      "error": f"unknown command: {cmd}"})
+        pool.shutdown(wait=True)
+    finally:
+        sys.stdout, sys.stderr = prev_out, prev_err
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(serve())
