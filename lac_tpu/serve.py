@@ -104,19 +104,63 @@ def warm_process(blocks=128):
     """Pull the hot executables into this process now by encoding a
     synthetic stereo signal of ``blocks`` full blocks in memory (device
     backends load their cached executables here instead of on the first
-    real job). No-op-cheap on the numpy backend."""
+    real job). Cold-start routing (LAC_TPU_COLD_BLOCKS) is suspended
+    for the warm encode — sending short inputs to the native planner is
+    exactly what warming exists to stop. No-op-cheap on numpy."""
+    import os
+
     import numpy as np
 
     from .cli import _encoder_xp
     from .encoder import FrameEncoder
     from .format import constants as C
 
-    n = int(blocks) * C.MAX_BLOCK_SIZE
+    # full blocks take the plane pipeline; the partial tail block walks
+    # the legacy group path (probe + bucket executables, padded to the
+    # power-of-two length bucket) — real files almost always have a
+    # tail, so load those here too, not on job 1. A tail just under a
+    # full block hits the 16384 bucket, the one any tail >8192 uses.
+    n = int(blocks) * C.MAX_BLOCK_SIZE + C.MAX_BLOCK_SIZE - 7
     rng = np.random.RandomState(7)
     left = rng.randint(-(1 << 14), 1 << 14, n).astype(np.int32)
     right = (left // 2 + rng.randint(-(1 << 8), 1 << 8, n)).astype(np.int32)
     enc = FrameEncoder(12, C.STEREO_PER_BLOCK, 44100, 16, xp=_encoder_xp())
-    return len(enc.encode(left, right))
+    prev = os.environ.get("LAC_TPU_COLD_BLOCKS")
+    os.environ["LAC_TPU_COLD_BLOCKS"] = "0"
+    try:
+        nbytes = len(enc.encode(left, right))
+    finally:
+        if prev is None:
+            os.environ.pop("LAC_TPU_COLD_BLOCKS", None)
+        else:
+            os.environ["LAC_TPU_COLD_BLOCKS"] = prev
+
+    from .ops._backend import is_jax
+
+    if is_jax(enc.xp):
+        # the encode above loaded the chunk-width analyze/gather/probe
+        # executables, but a chunk whose plan lanes exceed K (stereo-
+        # uncertain blocks plan two speculative variants each) takes the
+        # DOUBLED plan dispatch (device_pipeline.plan_batches) — load
+        # every ladder plan width now, not on the first uncertain file
+        import jax
+
+        from . import device_pipeline as DP
+        from . import encoder as E
+        from .format import constants as C
+        from .runtime.native import native_available
+
+        emit_fields = not native_available()
+        widths = (DP.CHUNK_BLOCKS,) if DP.CHUNK_BLOCKS else DP.CHUNK_LADDER
+        for bp in widths:
+            fn = E._jitted_plan(C.MAX_BLOCK_SIZE, enc.zero_run_enabled,
+                                enc.partitioning_enabled, emit_fields)
+            jax.block_until_ready(fn(
+                jax.device_put(np.zeros((bp, C.MAX_BLOCK_SIZE), np.int32)),
+                jax.device_put(np.zeros((5, bp, 13), np.int16)),
+                jax.device_put(np.zeros((5, bp), bool)),
+            )["meta"])
+    return nbytes
 
 
 def _respond(lock, out, obj):
