@@ -41,6 +41,7 @@ to ``lac_cli`` — a failed job never clobbers an existing output file.
 import io
 import json
 import shlex
+import signal
 import sys
 import threading
 import time
@@ -237,6 +238,15 @@ def serve(argv=None, stdin=None, stdout=None):
         res["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
         _respond(lock, real_out, res)
 
+    # graceful shutdown: SIGTERM/SIGINT behave like `quit` (stop
+    # reading, drain in-flight jobs, exit 0); restored on exit
+
+    def _terminate(_sig, _frame):
+        raise KeyboardInterrupt
+
+    prev_term = None
+    if threading.current_thread() is threading.main_thread():
+        prev_term = signal.signal(signal.SIGTERM, _terminate)
     try:
         job_id = 0
         for raw in stdin:
@@ -277,9 +287,13 @@ def serve(argv=None, stdin=None, stdout=None):
             _respond(lock, real_out,
                      {"id": job_id, "ok": False, "rc": 1,
                       "error": f"unknown command: {cmd}"})
-        pool.shutdown(wait=True)
+    except (KeyboardInterrupt, BrokenPipeError):
+        pass  # signal or client-gone: drain and exit cleanly below
     finally:
+        pool.shutdown(wait=True)
         sys.stdout, sys.stderr = prev_out, prev_err
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
     return 0
 
 

@@ -156,6 +156,33 @@ def test_serve_eof_is_quit(tmp_path):
     assert res == [{"id": 1, "ok": True, "pong": True}]
 
 
+def test_serve_sigterm_drains_and_exits_zero(tmp_path):
+    import json as _json
+    import signal
+
+    left = lcg_noise(8192, 6000, 55)
+    wav = str(tmp_path / "t.wav")
+    assert write_wav(wav, left, EMPTY, 1, 44100, 16)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "lac_tpu.serve"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        bufsize=1, env=env, cwd=REPO,
+    )
+    try:
+        p.stdin.write(f"encode {wav} {tmp_path / 't.lac'}\n")
+        p.stdin.flush()
+        res = _json.loads(p.stdout.readline())
+        assert res["ok"], res
+        p.send_signal(signal.SIGTERM)
+        assert p.wait(timeout=60) == 0
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert os.path.getsize(tmp_path / "t.lac") > 0
+
+
 def test_run_job_library_capture():
     """run_job works outside the serve loop (plain redirect capture)."""
     from lac_tpu.serve import run_job
