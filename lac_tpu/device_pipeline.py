@@ -202,6 +202,38 @@ def _jitted_gather(n):
     return jax.jit(lambda flat, rows: flat[rows])
 
 
+def _upload_bucket(kc, K, mesh):
+    """Rows actually uploaded for a partial chunk of ``kc`` real blocks:
+    the next step on a K/4 ladder (4 fixed shapes per K keep executable
+    diversity bounded; the K/4 step caps padded upload waste at ~33%
+    instead of the up-to-16x a host pad to K ships). Meshes keep the
+    full-K host pad — row counts must stay divisible over the shards —
+    and LAC_TPU_UPLOAD_BUCKETS=0 restores the old behavior."""
+    if mesh is not None or os.environ.get("LAC_TPU_UPLOAD_BUCKETS", "1") == "0":
+        return K
+    step = max(1, K // 4)
+    return min(K, -(-kc // step) * step)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_padrows(b, K, in_dtype):
+    """Zero-extend an uploaded (b, N) plane matrix to the (K, N) analyze
+    shape on device (data movement only; bit-exact by construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import configure_jax
+
+    configure_jax()
+
+    def pad(m):
+        return jnp.concatenate(
+            [m, jnp.zeros((K - b, N), jnp.dtype(in_dtype))], axis=0
+        )
+
+    return jax.jit(pad)
+
+
 class _ChunkJob:
     """One chunk of K full blocks through analyze -> plan -> emit."""
 
@@ -237,15 +269,6 @@ class _ChunkJob:
         with _dbg.phase("plane_upload"):
             lmat = pipe.lview[self.c0 : self.c0 + self.kc]
             rmat = pipe.rview[self.c0 : self.c0 + self.kc] if pipe.rview is not None else None
-            if self.kc < K:  # pad the final partial chunk
-                pad = np.zeros((K, N), lmat.dtype)
-                pad[: self.kc] = lmat
-                lmat = pad
-                if rmat is not None:
-                    padr = np.zeros((K, N), rmat.dtype)
-                    padr[: self.kc] = rmat
-                    rmat = padr
-            fn = _jitted_analyze(K, pipe.kind, str(lmat.dtype), pipe.mesh)
             if pipe.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as SP
 
@@ -255,9 +278,32 @@ class _ChunkJob:
                 put = lambda a: jax.device_put(a, sh)
             else:
                 put = jax.device_put
-            args = (put(lmat),)
-            args += (put(rmat),) if rmat is not None else (put(lmat),)
-            self.dev = fn(*args)
+            if self.kc < K:  # pad the final partial chunk to the K shape
+                bucket = _upload_bucket(self.kc, K, pipe.mesh)
+                padfn = (
+                    _jitted_padrows(bucket, K, str(lmat.dtype))
+                    if bucket < K
+                    else None
+                )
+
+                def pad_put(m):
+                    # the upload link is the pipeline's bottleneck:
+                    # ship only ceil(kc/(K/4)) bucket rows of real
+                    # bytes and zero-extend to (K, N) on device (the
+                    # headline 30 s corpus has 80 full blocks — a
+                    # host-side pad to K=128 uploaded 60% extra zeros)
+                    padh = np.zeros((bucket, N), m.dtype)
+                    padh[: self.kc] = m
+                    dev = put(padh)
+                    return padfn(dev) if padfn is not None else dev
+
+                lmat_d = pad_put(lmat)
+                rmat_d = pad_put(rmat) if rmat is not None else lmat_d
+            else:
+                lmat_d = put(lmat)
+                rmat_d = put(rmat) if rmat is not None else lmat_d
+            fn = _jitted_analyze(K, pipe.kind, str(pipe.lview.dtype), pipe.mesh)
+            self.dev = fn(lmat_d, rmat_d)
         for key in ("hostbuf", "cm", "un", "lags", "plags"):
             if key in self.dev:
                 try:
