@@ -161,6 +161,14 @@ def warm_process(blocks=128):
                 jax.device_put(np.zeros((5, bp, 13), np.int16)),
                 jax.device_put(np.zeros((5, bp), bool)),
             )["meta"])
+        # partial-chunk upload-bucket pads (tiny concat executables; a
+        # file whose full-block count is not a multiple of K hits one)
+        for K in widths:
+            step = max(1, K // 4)
+            for b in range(step, K, step):
+                for dt in (np.int16, np.int32):
+                    jax.block_until_ready(DP._jitted_padrows(b, K, str(np.dtype(dt)))(
+                        jax.device_put(np.zeros((b, DP.N), dt))))
     return nbytes
 
 

@@ -58,6 +58,22 @@ def warm_planes():
                 print(f"analyze K={K} kind={kind} dtype={np.dtype(dt).name}: {time.time() - t0:.1f}s", flush=True)
 
 
+def warm_pads():
+    """Partial-chunk upload-bucket pad executables (device_pipeline
+    _jitted_padrows): one per (bucket, K, dtype)."""
+    from lac_tpu import device_pipeline as DP
+
+    widths = (DP.CHUNK_BLOCKS,) if DP.CHUNK_BLOCKS else DP.CHUNK_LADDER
+    t0 = time.time()
+    for K in widths:
+        step = max(1, K // 4)
+        for b in range(step, K, step):
+            for dt in (np.int16, np.int32):
+                jax.block_until_ready(DP._jitted_padrows(b, K, str(np.dtype(dt)))(
+                    jax.device_put(np.zeros((b, DP.N), dt))))
+    print(f"upload-bucket pads: {time.time() - t0:.1f}s", flush=True)
+
+
 def main():
     t0 = time.time()
     # limb variants: 4 limbs for int16 uploads, 5 for in-domain int32
@@ -71,6 +87,7 @@ def main():
 
     emit_fields = not native_available()
     warm_planes()
+    warm_pads()
     # plane-pipeline plan shapes (int32 gathered rows, fixed batches)
     from lac_tpu import device_pipeline as DP
 
