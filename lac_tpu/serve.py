@@ -169,6 +169,24 @@ def warm_process(blocks=128):
                 for dt in (np.int16, np.int32):
                     jax.block_until_ready(DP._jitted_padrows(b, K, str(np.dtype(dt)))(
                         jax.device_put(np.zeros((b, DP.N), dt))))
+        # stereo-probe executables: the synthetic encode's strongly-
+        # correlated content decides every block certainly, so the
+        # uncertain-block probe gather + probe plan never load from it —
+        # a real file's first uncertain block would pay them here
+        for K in widths:
+            out = DP._jitted_analyze(K, "auto", "int16", None)(
+                jax.device_put(np.zeros((K, DP.N), np.int16)),
+                jax.device_put(np.zeros((K, DP.N), np.int16)),
+            )
+            probe_rows = jax.device_put(np.zeros(12 * K, np.int32))
+            jax.block_until_ready(DP._jitted_gather(DP.PROBE)(out["probes"], probe_rows))
+            fnp = E._jitted_plan(C.STEREO_PROBE_SIZE, enc.zero_run_enabled,
+                                 enc.partitioning_enabled, emit_fields)
+            jax.block_until_ready(fnp(
+                jax.device_put(np.zeros((12 * K, C.STEREO_PROBE_SIZE), np.int32)),
+                jax.device_put(np.zeros((5, 12 * K, 13), np.int16)),
+                jax.device_put(np.zeros((5, 12 * K), bool)),
+            )["meta"])
     return nbytes
 
 

@@ -48,7 +48,7 @@ def warm_planes():
             for dt in (np.int16, np.int32):
                 t0 = time.time()
                 lmat = jax.device_put(np.zeros((K, DP.N), dt))
-                out = DP._jitted_analyze(K, kind, str(np.dtype(dt)))(lmat, lmat)
+                out = DP._jitted_analyze(K, kind, str(np.dtype(dt)), None)(lmat, lmat)
                 jax.block_until_ready(out.get("hostbuf", out.get("lags")))
                 g = DP._jitted_gather(DP.N)(out["planes"], rowsK)
                 jax.block_until_ready(g)
