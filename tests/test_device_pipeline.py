@@ -89,6 +89,26 @@ def test_24bit_auto_matches_legacy():
     assert a == b
 
 
+def test_upload_buckets_toggle_parity(monkeypatch):
+    """The bucketed partial-chunk upload (default) and the host-pad-to-K
+    path (LAC_TPU_UPLOAD_BUCKETS=0) must produce identical bytes; the
+    bucket ladder covers its edges."""
+    assert DP._upload_bucket(1, 16, None) == 4
+    assert DP._upload_bucket(9, 16, None) == 12
+    assert DP._upload_bucket(13, 16, None) == 16
+    assert DP._upload_bucket(16, 16, None) == 16
+    assert DP._upload_bucket(3, 16, object()) == 16  # meshes keep full-K
+    monkeypatch.setenv("LAC_TPU_UPLOAD_BUCKETS", "0")
+    assert DP._upload_bucket(3, 16, None) == 16
+
+    l, r = _signal(16384 * 9 + 777, 21)  # partial chunk (9 < K=16) + tail
+    monkeypatch.delenv("LAC_TPU_UPLOAD_BUCKETS", raising=False)
+    a, legacy = _both(2, 16, l, r)
+    monkeypatch.setenv("LAC_TPU_UPLOAD_BUCKETS", "0")
+    a0 = FrameEncoder(12, 2, 44100, 16, xp=jnp).encode(l, r)
+    assert a == a0 == legacy
+
+
 def test_applicability_gates():
     enc = FrameEncoder(12, 2, 44100, 16, xp=jnp)
     assert DP.applicable(enc, DP.MIN_FULL_BLOCKS)
