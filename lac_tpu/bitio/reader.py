@@ -34,6 +34,14 @@ class BitReader:
         self._bitpos += 1
         return bit
 
+    def skip_bits(self, nbits: int) -> None:
+        """Advance the cursor without decoding (error past the end,
+        like every read)."""
+        if self._error or self._bitpos + nbits > self._nbits:
+            self._error = True
+            return
+        self._bitpos += nbits
+
     def read_bits(self, nbits: int) -> int:
         if nbits <= 0:
             return 0

@@ -324,7 +324,9 @@ class FrameDecoder:
         if parsed is None:
             raise DecodeError("[decode-error] invalid frame header")
         hdr, header_bytes = parsed
-        payload = data[header_bytes:]
+        # zero-copy view: slicing a multi-MB frame costs tens of ms on a
+        # slow host and would make decode_range's seek O(file)
+        payload = memoryview(data)[header_bytes:]
         br = BitReader(payload)
 
         block_count = br.read_bits(32)
@@ -335,27 +337,37 @@ class FrameDecoder:
         if block_count > br.bits_remaining() // (32 * words):
             raise DecodeError("[decode-error] truncated block size table")
 
-        block_sizes, payload_sizes = [], []
-        total_samples = 0
-        total_payload = 0
-        for i in range(block_count):
-            sz = br.read_bits(32)
-            if br.has_error() or sz == 0 or sz > C.MAX_BLOCK_SIZE or (
-                i + 1 < block_count and sz < C.MIN_CANONICAL_NON_FINAL_BLOCK_SIZE
-            ):
-                raise DecodeError("[decode-error] invalid block size")
-            total_samples += sz
-            if total_samples > C.MAX_TOTAL_SAMPLES:
-                raise DecodeError("[decode-error] total samples exceed maximum")
-            block_sizes.append(sz)
-            if has_sizes:
-                psz = br.read_bits(32)
-                if br.has_error() or psz == 0:
-                    raise DecodeError("[decode-error] invalid compressed block size")
-                total_payload += psz
-                if total_payload > len(payload):
-                    raise DecodeError("[decode-error] compressed block sizes exceed frame payload")
-                payload_sizes.append(psz)
+        # vectorized table parse (the scalar loop cost ~20 ms on a
+        # 10-minute file — too slow for decode_range's seek latency).
+        # Validation reproduces the scalar loop's FIRST failing check
+        # exactly: per row the order is size -> running-sample total ->
+        # compressed size -> running-payload total.
+        tbl = np.frombuffer(payload, dtype=">u4", count=words * block_count, offset=4)
+        sizes = (tbl[0::2] if has_sizes else tbl).astype(np.int64)
+        bad = (sizes == 0) | (sizes > C.MAX_BLOCK_SIZE)
+        if block_count > 1:
+            bad = bad | np.concatenate([
+                sizes[:-1] < C.MIN_CANONICAL_NON_FINAL_BLOCK_SIZE, [False]
+            ])
+        checks = [(bad, "invalid block size"),
+                  (sizes.cumsum() > C.MAX_TOTAL_SAMPLES,
+                   "total samples exceed maximum")]
+        if has_sizes:
+            psizes = tbl[1::2].astype(np.int64)
+            checks += [(psizes == 0, "invalid compressed block size"),
+                       (psizes.cumsum() > len(payload),
+                        "compressed block sizes exceed frame payload")]
+        first = None  # (row, check_order, message)
+        for order, (mask, msg) in enumerate(checks):
+            rows = np.flatnonzero(mask)
+            if rows.size and (first is None or (int(rows[0]), order) < first[:2]):
+                first = (int(rows[0]), order, msg)
+        if first is not None:
+            raise DecodeError(f"[decode-error] {first[2]}")
+        br.skip_bits(32 * words * block_count)
+        block_sizes = sizes.tolist()
+        payload_sizes = psizes.tolist() if has_sizes else []
+        total_samples = int(sizes.sum())
 
         if total_samples * hdr.channels * 4 > C.MAX_DECODED_PCM_BYTES:
             raise DecodeError("[decode-error] decoded PCM allocation exceeds maximum")
@@ -546,7 +558,7 @@ class FrameDecoder:
         avail = br.bits_remaining() // 8
         if sum(payload_sizes) != avail:
             raise DecodeError("[decode-error] compressed block sizes do not match frame payload")
-        block_payload = payload[len(payload) - avail :]
+        body = len(payload) - avail  # first block payload byte
         sample_off = np.concatenate([[0], np.cumsum(np.asarray(block_sizes, np.int64))])
         payload_off = np.concatenate([[0], np.cumsum(np.asarray(payload_sizes, np.int64))])
         b0 = int(np.searchsorted(sample_off, start, side="right") - 1)
@@ -554,7 +566,9 @@ class FrameDecoder:
         nsub = int(sample_off[b1] - sample_off[b0])
         sub_sizes = block_sizes[b0:b1]
         sub_psizes = payload_sizes[b0:b1]
-        sub_payload = block_payload[int(payload_off[b0]) : int(payload_off[b1])]
+        # slice the blocks straight out of the frame (never copying the
+        # whole payload: seeks must stay O(range))
+        sub_payload = payload[body + int(payload_off[b0]) : body + int(payload_off[b1])]
         sub_poff = (payload_off[b0:b1] - payload_off[b0]).astype(np.int64)
         sub_soff = (sample_off[b0:b1] - sample_off[b0]).astype(np.int64)
 
