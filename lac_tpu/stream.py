@@ -287,7 +287,9 @@ def encode_wav_to_lac(
                 ).reshape(nb, 2)
                 if not np.array_equal(sub[:, 0], table[b0:b1, 0]):
                     raise WavReadError("chunk encode produced unexpected block sizes")
-                payload = frame[C.HEADER_BYTES + 4 + 8 * nb :]
+                # zero-copy view: the chunk payload is multi-MB and this
+                # host copies bytes at ~200 MB/s
+                payload = memoryview(frame)[C.HEADER_BYTES + 4 + 8 * nb :]
                 if int(sub[:, 1].sum()) != len(payload):
                     raise WavReadError("chunk table does not cover its payload")
                 table[b0:b1, 1] = sub[:, 1]

@@ -19,6 +19,7 @@ import pathlib
 import subprocess
 import sys
 import tempfile
+import zlib
 
 import numpy as np
 
@@ -114,7 +115,11 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         lac, wav = f"{td}/f.lac", f"{td}/f.wav"
         for name, base in bases:
-            rng = np.random.RandomState((seed * 7919 + hash(name)) & 0x7FFFFFFF)
+            # crc32, not hash(): str hashing is process-salted and would
+            # break the "same seed = same campaign" repro contract
+            rng = np.random.RandomState(
+                (seed * 7919 + zlib.crc32(name.encode())) & 0x7FFFFFFF
+            )
             for i, mutated in enumerate(mutations(base, rng, per_base)):
                 total += 1
                 open(lac, "wb").write(mutated)
