@@ -211,7 +211,15 @@ def _upload_bucket(kc, K, mesh):
     and LAC_TPU_UPLOAD_BUCKETS=0 restores the old behavior."""
     if mesh is not None or os.environ.get("LAC_TPU_UPLOAD_BUCKETS", "1") == "0":
         return K
-    step = max(1, K // 4)
+    # div=8 measured best-case-neutral vs 4 (249.9 vs 251.1 ms on the
+    # live corpus A/B): the tunnel's latency floor dominates once the
+    # padded bytes are gone, so keep the coarser grid (fewer pad
+    # executables to compile/load per process)
+    try:
+        div = int(os.environ.get("LAC_TPU_UPLOAD_BUCKET_DIV", "4"))
+    except ValueError:
+        div = 4
+    step = max(1, K // max(1, div))
     return min(K, -(-kc // step) * step)
 
 
@@ -288,12 +296,17 @@ class _ChunkJob:
 
                 def pad_put(m):
                     # the upload link is the pipeline's bottleneck:
-                    # ship only ceil(kc/(K/4)) bucket rows of real
+                    # ship only ceil(kc/(K/div)) bucket rows of real
                     # bytes and zero-extend to (K, N) on device (the
                     # headline 30 s corpus has 80 full blocks — a
-                    # host-side pad to K=128 uploaded 60% extra zeros)
-                    padh = np.zeros((bucket, N), m.dtype)
-                    padh[: self.kc] = m
+                    # host-side pad to K=128 uploaded 60% extra zeros).
+                    # When kc lands exactly on the grid, skip the host
+                    # zeros+copy too (this host copies at ~200 MB/s).
+                    if bucket == self.kc:
+                        padh = np.ascontiguousarray(m)
+                    else:
+                        padh = np.zeros((bucket, N), m.dtype)
+                        padh[: self.kc] = m
                     dev = put(padh)
                     return padfn(dev) if padfn is not None else dev
 

@@ -40,23 +40,34 @@ def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     import jax.numpy as jnp
 
+    variants = sys.argv[2].split(",") if len(sys.argv) > 2 else ["off", "4", "8"]
+
+    def set_variant(v):
+        if v == "off":
+            os.environ["LAC_TPU_UPLOAD_BUCKETS"] = "0"
+        else:
+            os.environ["LAC_TPU_UPLOAD_BUCKETS"] = "1"
+            os.environ["LAC_TPU_UPLOAD_BUCKET_DIV"] = v
+
     enc = FrameEncoder(12, 2, SR, 16, xp=jnp)
-    # warm both variants (loads every executable incl. the pad)
-    for v in ("0", "1"):
-        os.environ["LAC_TPU_UPLOAD_BUCKETS"] = v
+    # warm every variant (loads every executable incl. the pads)
+    for v in variants:
+        set_variant(v)
         enc.encode(*corpus(1))
-    times = {"0": [], "1": []}
+    times = {v: [] for v in variants}
     seed = 100
     for r in range(rounds):
-        for v in ("0", "1") if r % 2 == 0 else ("1", "0"):
-            os.environ["LAC_TPU_UPLOAD_BUCKETS"] = v
+        order = variants if r % 2 == 0 else variants[::-1]
+        for v in order:
+            set_variant(v)
             left, right = corpus(seed)
             seed += 1
             t0 = time.perf_counter()
             enc.encode(left, right)
             times[v].append(time.perf_counter() - t0)
-    for v, label in (("0", "host-pad-to-K"), ("1", "bucketed")):
+    for v in variants:
         ts = sorted(times[v])
+        label = "host-pad-to-K" if v == "off" else f"bucketed div={v}"
         print(f"{label}: best {ts[0]*1e3:.1f} ms  median {ts[len(ts)//2]*1e3:.1f} ms "
               f"(best {FRAMES/ts[0]/1e6:.2f} M fps)")
     return 0
