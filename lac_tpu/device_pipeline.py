@@ -42,14 +42,18 @@ PROBE = C.STEREO_PROBE_SIZE
 PROBE_POS = (0, (N - PROBE) // 2, N - PROBE)  # lac/encoder.cpp:336-343
 # chunk width: fixed shapes for every analyze/plan executable (shape
 # diversity = minutes of extra compiles). The TPU production widths form
-# a two-step ladder — 128 for short files (less padding waste), 256 once
-# a file has at least 256 full blocks (fewer tunnel round trips; 25M
-# frames measured 4.8-5.6M fps at K=128 vs 5.7-7.2M at K=256; K=512
-# showed no further gain). The CPU test suite pins a small width via
-# LAC_TPU_CHUNK_BLOCKS (tests/conftest.py) because a (128, 16384)
-# planner compile takes tens of minutes on one CPU core.
+# a three-step ladder — 64 for short files (a single chunk has NO
+# pipeline overlap, so splitting a sub-128-block file into 64-wide
+# chunks overlaps chunk 1's upload/analyze/plan with chunk 0's plan and
+# host emit: 30 s corpus measured 219-226 ms best at K=64 vs 253-259 ms
+# at K=128 in two interleaved A/B sessions, byte-identical), 128 in the
+# middle, 256 once a file has at least 256 full blocks (fewer tunnel
+# round trips; 25M frames measured 4.8-5.6M fps at K=128 vs 5.7-7.2M at
+# K=256; K=512 showed no further gain). The CPU test suite pins a small
+# width via LAC_TPU_CHUNK_BLOCKS (tests/conftest.py) because a
+# (128, 16384) planner compile takes tens of minutes on one CPU core.
 CHUNK_BLOCKS = int(os.environ.get("LAC_TPU_CHUNK_BLOCKS", "0"))  # 0 = ladder
-CHUNK_LADDER = (128, 256)
+CHUNK_LADDER = (64, 128, 256)
 MIN_FULL_BLOCKS = 8
 
 # process warmth: loading the cached device executables costs many

@@ -139,8 +139,11 @@ def test_plan_batches_widths():
     assert list(DP.plan_batches(K0 + 34, K0)) == [(0, K0 + 34, K1)]
     assert list(DP.plan_batches(2 * K0, K0)) == [(0, 2 * K0, K1)]
     assert list(DP.plan_batches(2 * K0 + 5, K0)) == [(0, K1, K1), (K1, 5, K0)]
-    # at the top ladder width there is no doubled executable
-    assert list(DP.plan_batches(2 * K1, K1)) == [(0, K1, K1), (K1, K1, K1)]
+    # every non-top rung doubles into the next one up...
+    assert list(DP.plan_batches(2 * K1, K1)) == [(0, 2 * K1, 2 * K1)]
+    # ...but at the top ladder width there is no doubled executable
+    Kt = DP.CHUNK_LADDER[-1]
+    assert list(DP.plan_batches(2 * Kt, Kt)) == [(0, Kt, Kt), (Kt, Kt, Kt)]
     # non-ladder widths (test pins) never double
     assert list(DP.plan_batches(40, 16)) == [(0, 16, 16), (16, 16, 16), (32, 8, 16)]
 
