@@ -206,6 +206,22 @@ def _jitted_gather(n):
     return jax.jit(lambda flat, rows: flat[rows])
 
 
+def _bucket_step(K):
+    """Upload-bucket row granularity for chunk width ``K`` (shared by
+    the pipeline and serve.warm_process so warmed pad shapes always
+    match the shapes a real partial chunk will use).
+
+    div=8 measured best-case-neutral vs 4 (249.9 vs 251.1 ms on the
+    live corpus A/B): the tunnel's latency floor dominates once the
+    padded bytes are gone, so keep the coarser grid (fewer pad
+    executables to compile/load per process)."""
+    try:
+        div = int(os.environ.get("LAC_TPU_UPLOAD_BUCKET_DIV", "4"))
+    except ValueError:
+        div = 4
+    return max(1, K // max(1, div))
+
+
 def _upload_bucket(kc, K, mesh):
     """Rows actually uploaded for a partial chunk of ``kc`` real blocks:
     the next step on a K/4 ladder (4 fixed shapes per K keep executable
@@ -215,15 +231,7 @@ def _upload_bucket(kc, K, mesh):
     and LAC_TPU_UPLOAD_BUCKETS=0 restores the old behavior."""
     if mesh is not None or os.environ.get("LAC_TPU_UPLOAD_BUCKETS", "1") == "0":
         return K
-    # div=8 measured best-case-neutral vs 4 (249.9 vs 251.1 ms on the
-    # live corpus A/B): the tunnel's latency floor dominates once the
-    # padded bytes are gone, so keep the coarser grid (fewer pad
-    # executables to compile/load per process)
-    try:
-        div = int(os.environ.get("LAC_TPU_UPLOAD_BUCKET_DIV", "4"))
-    except ValueError:
-        div = 4
-    step = max(1, K // max(1, div))
+    step = _bucket_step(K)
     return min(K, -(-kc // step) * step)
 
 

@@ -1057,6 +1057,16 @@ class FrameEncoder:
         self.debug_lpc = False
         self.debug_stereo_est = False
         self.debug_partitions = False
+        # suppress one-shot cold-start routing for this encoder (serve
+        # warm jobs: sending the warm encode to the native planner is
+        # exactly what warming exists to avoid; an instance flag instead
+        # of env mutation keeps concurrent jobs' routing deterministic)
+        self.suppress_cold_route = False
+        # cross-file pooled serving (lac_tpu.pool): precomputed plane
+        # results ({block: {slot: bytes}}, {block: flag}, {block: bool})
+        # consumed once by the next encode() instead of running the
+        # device plane pipeline for this file alone
+        self._injected_planes = None
         self.xp = xp
 
     def set_zero_run_enabled(self, enabled):
@@ -1139,10 +1149,18 @@ class FrameEncoder:
         # one-shot CLI encode of a short file can never amortize. The
         # first long encode (or LAC_TPU_COLD_BLOCKS=0) warms the process
         # and every later encode uses the device path regardless of size.
-        if is_jax(xp) and _cold_route(nblocks):
+        if is_jax(xp) and not self.suppress_cold_route and _cold_route(nblocks):
             xp = np
 
-        if nfull >= 1 and is_jax(xp) and _dp.applicable(self, nfull):
+        injected, self._injected_planes = self._injected_planes, None
+        if injected is not None:
+            # cross-file pooled serving: this file's full blocks were
+            # planned inside a shared device wave (lac_tpu.pool);
+            # per-block bytes are independent of batching, so the result
+            # is identical to running the plane pipeline for this file
+            plane_payloads, plane_flags, plane_uncertain = injected
+            assert all(0 <= b < nfull for b in plane_payloads), "injected planes out of range"
+        elif nfull >= 1 and is_jax(xp) and _dp.applicable(self, nfull):
             kind = (
                 "mono" if not is_stereo
                 else ("ms" if force_ms else ("auto" if per_block else "lr"))

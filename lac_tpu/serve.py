@@ -40,6 +40,7 @@ to ``lac_cli`` — a failed job never clobbers an existing output file.
 
 import io
 import json
+import os
 import shlex
 import signal
 import sys
@@ -108,8 +109,6 @@ def warm_process(blocks=128):
     real job). Cold-start routing (LAC_TPU_COLD_BLOCKS) is suspended
     for the warm encode — sending short inputs to the native planner is
     exactly what warming exists to stop. No-op-cheap on numpy."""
-    import os
-
     import numpy as np
 
     from .cli import _encoder_xp
@@ -126,15 +125,11 @@ def warm_process(blocks=128):
     left = rng.randint(-(1 << 14), 1 << 14, n).astype(np.int32)
     right = (left // 2 + rng.randint(-(1 << 8), 1 << 8, n)).astype(np.int32)
     enc = FrameEncoder(12, C.STEREO_PER_BLOCK, 44100, 16, xp=_encoder_xp())
-    prev = os.environ.get("LAC_TPU_COLD_BLOCKS")
-    os.environ["LAC_TPU_COLD_BLOCKS"] = "0"
-    try:
-        nbytes = len(enc.encode(left, right))
-    finally:
-        if prev is None:
-            os.environ.pop("LAC_TPU_COLD_BLOCKS", None)
-        else:
-            os.environ["LAC_TPU_COLD_BLOCKS"] = prev
+    # instance flag, NOT env mutation: concurrent warm jobs used to race
+    # the LAC_TPU_COLD_BLOCKS save/restore and perturb other jobs'
+    # routing (advisor round-3 finding)
+    enc.suppress_cold_route = True
+    nbytes = len(enc.encode(left, right))
 
     from .ops._backend import is_jax
 
@@ -162,9 +157,11 @@ def warm_process(blocks=128):
                 jax.device_put(np.zeros((5, bp), bool)),
             )["meta"])
         # partial-chunk upload-bucket pads (tiny concat executables; a
-        # file whose full-block count is not a multiple of K hits one)
+        # file whose full-block count is not a multiple of K hits one).
+        # The step MUST come from the same env-derived grid the pipeline
+        # uses (LAC_TPU_UPLOAD_BUCKET_DIV) or the warmed shapes miss.
         for K in widths:
-            step = max(1, K // 4)
+            step = DP._bucket_step(K)
             for b in range(step, K, step):
                 for dt in (np.int16, np.int32):
                     jax.block_until_ready(DP._jitted_padrows(b, K, str(np.dtype(dt)))(
@@ -224,8 +221,26 @@ def serve(argv=None, stdin=None, stdout=None):
             return 1
 
     stdin = sys.stdin if stdin is None else stdin
-    real_out = sys.stdout if stdout is None else stdout
     lock = threading.Lock()
+
+    # Protocol isolation: clients parse one JSON object per line off our
+    # stdout, but _ThreadRouter only intercepts Python-level writes — a
+    # native library or XLA/absl printing to FILE DESCRIPTOR 1 directly
+    # would interleave into the response stream. Dup the real stdout for
+    # protocol responses and point fd 1 at stderr for the loop lifetime,
+    # so raw-fd writers can never corrupt a response line.
+    fd_saved = None
+    if stdout is None:
+        try:
+            fd_saved = os.dup(1)
+            real_out = os.fdopen(fd_saved, "w")
+            sys.stdout.flush()
+            os.dup2(sys.stderr.fileno(), 1)
+        except (OSError, ValueError, io.UnsupportedOperation):
+            fd_saved = None
+            real_out = sys.stdout
+    else:
+        real_out = stdout
 
     # route job-thread CLI prints into per-job buffers for the lifetime
     # of the loop; protocol responses go to the real stream
@@ -318,6 +333,13 @@ def serve(argv=None, stdin=None, stdout=None):
     finally:
         pool.shutdown(wait=True)
         sys.stdout, sys.stderr = prev_out, prev_err
+        if fd_saved is not None:
+            try:
+                real_out.flush()
+                os.dup2(fd_saved, 1)  # restore the original stdout fd
+            except OSError:
+                pass
+            real_out.close()  # closes fd_saved; fd 1 already restored
         if prev_term is not None:
             signal.signal(signal.SIGTERM, prev_term)
     return 0

@@ -22,6 +22,7 @@ identical to ``FrameEncoder.encode`` by block independence (asserted
 in tests/test_stream_encode.py).
 """
 
+import itertools
 import os
 from dataclasses import dataclass
 
@@ -30,6 +31,8 @@ import numpy as np
 from .format import constants as C
 from .format.header import FrameHeader
 from .io.wav import _sign_extend
+
+_TMP_SEQ = itertools.count()  # per-call temp-name uniqueness (thread-safe)
 
 
 class WavReadError(OSError):
@@ -260,7 +263,10 @@ def encode_wav_to_lac(
     table[nblocks - 1, 0] = info.frames - (nblocks - 1) * C.MAX_BLOCK_SIZE
 
     total = 0
-    tmp_path = f"{out_path}.tmp-{os.getpid()}"
+    # unique per call, not just per process: concurrent encodes of the
+    # same out_path inside one process (serve --workers>1 via the direct
+    # API) must never clobber/unlink each other's temp file
+    tmp_path = f"{out_path}.tmp-{os.getpid()}-{next(_TMP_SEQ)}"
     try:
         with open(in_path, "rb") as fin, open(tmp_path, "wb") as fout:
             head = hdr.pack() + nblocks.to_bytes(4, "big")
