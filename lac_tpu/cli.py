@@ -13,6 +13,7 @@ shapes, and exit codes as the reference CLI:
 import math
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -89,6 +90,65 @@ def _load_file(path: str):
         return None
 
 
+# pooled-serving injection (lac_tpu.pool): the batcher pre-reads the
+# WAV and plans a file's full blocks inside a shared device wave, then
+# replays the ordinary CLI encode with both handed over thread-locally —
+# the CLI path (flags, staged output, messages, exit codes) stays the
+# single source of truth and the WAV is never read twice.
+_inject_tls = threading.local()
+
+
+def _set_encode_injection(in_path, wav, planes):
+    _inject_tls.data = (in_path, wav, planes)
+
+
+def _pop_encode_injection(in_path):
+    d = getattr(_inject_tls, "data", None)
+    if d is not None and d[0] == in_path:
+        _inject_tls.data = None
+        return d
+    return None
+
+
+def _parse_encode_flags(flags_argv):
+    """Parse encode trailing flags; returns an options dict or None on a
+    bad flag (shared by _cmd_encode and the pooled-serving prescreen so
+    the two can never diverge)."""
+    opts = {
+        "stereo_mode": C.STEREO_PER_BLOCK,
+        "partitioning": True,
+        "thread_count": 0,
+        "debug_threads": False,
+        "debug_zr": False,
+        "debug_lpc": False,
+        "debug_stereo_est": False,
+        "debug_partitions": False,
+    }
+    for flag in flags_argv:
+        if flag in ("--debug-threads",):
+            opts["debug_threads"] = True
+        elif flag == "--debug-zr":
+            opts["debug_zr"] = True
+        elif flag == "--debug-lpc":
+            opts["debug_lpc"] = True
+        elif flag == "--debug-stereo-est":
+            opts["debug_stereo_est"] = True
+        elif flag == "--debug-partitions":
+            opts["debug_partitions"] = True
+        elif flag == "--no-partitioning":
+            opts["partitioning"] = False
+        elif flag == "--stereo-mode=lr":
+            opts["stereo_mode"] = C.STEREO_LR
+        elif flag == "--stereo-mode=ms":
+            opts["stereo_mode"] = C.STEREO_MS
+        else:
+            n = parse_threads_flag(flag)
+            if n is None:
+                return None
+            opts["thread_count"] = n
+    return opts
+
+
 def _cmd_encode(argv) -> int:
     from .encoder import FrameEncoder
     from .io import read_wav
@@ -100,38 +160,18 @@ def _cmd_encode(argv) -> int:
     if paths_refer_to_same_file(in_path, out_path):
         sys.stderr.write("Input and output paths must be different\n")
         return 1
-    stereo_mode = C.STEREO_PER_BLOCK
-    partitioning = True
-    thread_count = 0
-    debug_threads = False
-    debug_zr = False
-    debug_lpc = False
-    debug_stereo_est = False
-    debug_partitions = False
-    for flag in argv[2:]:
-        if flag in ("--debug-threads",):
-            debug_threads = True
-        elif flag == "--debug-zr":
-            debug_zr = True
-        elif flag == "--debug-lpc":
-            debug_lpc = True
-        elif flag == "--debug-stereo-est":
-            debug_stereo_est = True
-        elif flag == "--debug-partitions":
-            debug_partitions = True
-        elif flag == "--no-partitioning":
-            partitioning = False
-        elif flag == "--stereo-mode=lr":
-            stereo_mode = C.STEREO_LR
-        elif flag == "--stereo-mode=ms":
-            stereo_mode = C.STEREO_MS
-        else:
-            n = parse_threads_flag(flag)
-            if n is None:
-                _usage()
-                return 1
-            thread_count = n
-    thread_count = _resolve_threads(thread_count)
+    opts = _parse_encode_flags(argv[2:])
+    if opts is None:
+        _usage()
+        return 1
+    stereo_mode = opts["stereo_mode"]
+    partitioning = opts["partitioning"]
+    debug_threads = opts["debug_threads"]
+    debug_zr = opts["debug_zr"]
+    debug_lpc = opts["debug_lpc"]
+    debug_stereo_est = opts["debug_stereo_est"]
+    debug_partitions = opts["debug_partitions"]
+    thread_count = _resolve_threads(opts["thread_count"])
 
     # bounded-memory routing: inputs at/above LAC_TPU_STREAM_BLOCKS
     # blocks (default 2048 = 33.5M frames) stream chunk-of-blocks at a
@@ -139,12 +179,16 @@ def _cmd_encode(argv) -> int:
     # (tests/test_stream_encode.py). Debug flags print per-block data,
     # so they keep the single-pass in-memory path.
     any_debug = debug_zr or debug_lpc or debug_stereo_est or debug_partitions
+    # pooled-serving handoff: the batcher already read this WAV and
+    # planned its full blocks in a shared device wave — reuse both (a
+    # re-read could diverge from the planned planes if the file changed)
+    inject = _pop_encode_injection(in_path)
     stream_info = None
     try:
         stream_threshold = int(os.environ.get("LAC_TPU_STREAM_BLOCKS", "2048"))
     except ValueError:
         stream_threshold = 2048
-    if not any_debug and stream_threshold > 0:
+    if inject is None and not any_debug and stream_threshold > 0:
         from .stream import scan_wav
 
         info = scan_wav(in_path)
@@ -156,6 +200,8 @@ def _cmd_encode(argv) -> int:
         channels = stream_info.channels
         sample_rate = stream_info.sample_rate
         bit_depth = stream_info.bit_depth
+    elif inject is not None:
+        left, right, channels, sample_rate, bit_depth = inject[1]
     else:
         wav = read_wav(in_path)
         if wav is None:
@@ -170,6 +216,8 @@ def _cmd_encode(argv) -> int:
     encoder.set_debug_lpc(debug_lpc)
     encoder.set_debug_stereo_est(debug_stereo_est)
     encoder.set_debug_partitions(debug_partitions)
+    if inject is not None:
+        encoder._injected_planes = inject[2]
     if os.environ.get("LAC_TPU_MESH") == "1":
         # shard plan batches over all local devices (multi-chip serving);
         # bytes are identical to the single-device path by construction

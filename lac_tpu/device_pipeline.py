@@ -630,7 +630,7 @@ class _ChunkJob:
 
 
 class PlanePipeline:
-    def __init__(self, frame_enc, left, right, nfull, kind):
+    def __init__(self, frame_enc, left, right, nfull, kind, views=None):
         from . import configure_jax
 
         configure_jax()
@@ -647,21 +647,29 @@ class PlanePipeline:
         # (compiles are minutes on the axon remote-compile service, so
         # shape diversity is the enemy; short files pad up)
         self.K = chunk_width(nfull)
-        dt = np.int16 if frame_enc.bit_depth == 16 else np.int32
-        self.lview = np.ascontiguousarray(
-            left[: nfull * N].reshape(nfull, N), dtype=dt
-        )
-        self.rview = (
-            np.ascontiguousarray(right[: nfull * N].reshape(nfull, N), dtype=dt)
-            if kind != "mono"
-            else None
-        )
+        if views is not None:
+            # cross-file pooled serving (lac_tpu.pool): the caller hands
+            # prebuilt (nfull, N) plane matrices whose block rows may be
+            # drawn from MANY files — blocks are file-agnostic once the
+            # planes are cut, so the pipeline is unchanged
+            self.lview, self.rview = views
+            assert self.lview.shape == (nfull, N)
+        else:
+            dt = np.int16 if frame_enc.bit_depth == 16 else np.int32
+            self.lview = np.ascontiguousarray(
+                left[: nfull * N].reshape(nfull, N), dtype=dt
+            )
+            self.rview = (
+                np.ascontiguousarray(right[: nfull * N].reshape(nfull, N), dtype=dt)
+                if kind != "mono"
+                else None
+            )
         self.jobs = [
             _ChunkJob(self, c0, min(self.K, nfull - c0))
             for c0 in range(0, nfull, self.K)
         ]
 
-    def run(self):
+    def run(self, progress_cb=None):
         """Sliding-window software pipeline: analyze chunk j while
         planning chunk j-D and emitting chunk j-D-1.
 
@@ -674,6 +682,13 @@ class PlanePipeline:
         no per-chunk sync (the round-2 verdict's "per-chunk lag fetch").
         Host Levinson-Durbin stays 80-bit exact; only scheduling moved.
         Cost: one extra chunk of resident planes (~64 MB at K=256).
+
+        ``progress_cb(done_blocks, payloads, flags, uncertain)`` fires
+        after each chunk's emit with the count of contiguously-complete
+        leading blocks (chunks finish strictly in block order) and the
+        accumulating result dicts — the pooled serving layer uses it to
+        release per-file results (and pop their entries) while later
+        chunks are still on the device.
         """
         payloads, flags, uncertain = {}, {}, {}
         jobs = self.jobs
@@ -688,6 +703,8 @@ class PlanePipeline:
             flags.update(f)
             uncertain.update(u)
             jobs[i].dev = jobs[i].futs = None  # release device buffers
+            if progress_cb is not None:
+                progress_cb(jobs[i].c0 + jobs[i].kc, payloads, flags, uncertain)
 
         for j, job in enumerate(jobs):
             job.dispatch_analyze()

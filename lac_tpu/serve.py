@@ -11,7 +11,13 @@ encodes at full device throughput with zero per-file setup.
 
 Usage:
 
-    python -m lac_tpu.serve [--workers=N] [--warm[=BLOCKS]]
+    python -m lac_tpu.serve [--workers=N] [--warm[=BLOCKS]] [--no-pool]
+
+With ``--workers>1``, queued encode jobs are pooled: their full
+16384-sample blocks fill shared K-wide device chunks (lac_tpu.pool), so
+many short files sustain the long-file chunk rate instead of each file
+ending on a padded partial chunk. ``--no-pool`` (or
+``LAC_TPU_SERVE_POOL=0``) restores one pipeline per file.
 
 Protocol (line-oriented, stdin -> stdout, one JSON object per line):
 
@@ -194,11 +200,144 @@ def _respond(lock, out, obj):
         out.flush()
 
 
+class _PoolBatcher:
+    """Cross-file chunk batching for encode jobs (lac_tpu.pool).
+
+    The reference's thread pool fills every core with one-block tasks
+    regardless of provenance (lac/encoder.cpp:259-443); this is the
+    device-path equivalent: encode jobs queued while a wave is running
+    accumulate, then the batcher drains them all at once, pools the
+    compatible ones' full blocks into shared K-wide device chunks, and
+    releases each file to a worker-pool finish task (tail block, frame
+    assembly, staged write — the ordinary CLI path with the WAV and the
+    plane results injected) as soon as its chunks have emitted. Jobs
+    that can't pool (debug flags, streaming route, numpy backend, bad
+    args, mesh mode) fall back to the ordinary per-job handler, which
+    reproduces every message and exit code exactly.
+    """
+
+    def __init__(self, pool, handle, respond):
+        self.pool = pool  # worker ThreadPoolExecutor (fallbacks + finishes)
+        self.handle = handle  # ordinary job handler(job_id, parts)
+        self.respond = respond  # respond(obj)
+        self.cv = threading.Condition()
+        self.pending = []
+        self.closed = False
+        self.busy = 0  # accepted jobs not yet responded
+        self.fenced = 0  # accepted since the last drain (wait counting)
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, job_id, parts):
+        with self.cv:
+            self.pending.append((job_id, parts, time.perf_counter()))
+            self.busy += 1
+            self.fenced += 1
+            self.cv.notify_all()
+
+    def drain(self):
+        """Block until every accepted job has been responded to; returns
+        the number of jobs fenced since the previous drain (the `wait`
+        response counts them alongside the direct worker futures)."""
+        with self.cv:
+            while self.busy:
+                self.cv.wait()
+            n, self.fenced = self.fenced, 0
+            return n
+
+    def close(self):
+        with self.cv:
+            self.closed = True
+            self.cv.notify_all()
+        self.thread.join()
+
+    def _done_one(self):
+        with self.cv:
+            self.busy -= 1
+            self.cv.notify_all()
+
+    def _loop(self):
+        from . import pool as P
+
+        while True:
+            with self.cv:
+                while not self.pending and not self.closed:
+                    self.cv.wait()
+                if not self.pending and self.closed:
+                    return
+                batch, self.pending = self.pending, []
+            try:
+                self._process(batch, P)
+            except Exception:  # noqa: BLE001 — keep the batcher alive
+                # defensive: _process already routes per-job failures;
+                # anything reaching here gets the per-job fallback
+                for job_id, parts, _t0 in batch:
+                    self.pool.submit(self._fallback, job_id, parts)
+
+    def _fallback(self, job_id, parts):
+        try:
+            self.handle(job_id, parts)
+        finally:
+            self._done_one()
+
+    def _finish(self, job_id, parts, prep, planes, t0):
+        from . import cli
+
+        try:
+            cli._set_encode_injection(prep.in_path, prep.wav, planes)
+            try:
+                rc, out_text, err_text = run_job(parts)
+            finally:
+                cli._pop_encode_injection(prep.in_path)  # defensive clear
+            res = {"id": job_id, "ok": rc == 0, "rc": rc}
+            if out_text.strip():
+                res["message"] = out_text.strip()
+            if err_text.strip():
+                res["error"] = err_text.strip()
+        except Exception as e:  # noqa: BLE001 — service boundary
+            res = {"id": job_id, "ok": False, "rc": 1, "error": str(e)}
+        finally:
+            self._done_one()
+        res["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        self.respond(res)
+
+    def _process(self, batch, P):
+        groups = {}
+        for job_id, parts, t0 in batch:
+            prep = None
+            try:
+                prep = P.prepare_encode_job(parts)
+            except Exception:  # noqa: BLE001 — prescreen must never kill a job
+                prep = None
+            if prep is None:
+                self.pool.submit(self._fallback, job_id, parts)
+            else:
+                groups.setdefault(prep.key, []).append((job_id, parts, t0, prep))
+        for jobs in groups.values():
+            for wave in P.split_waves(jobs, nfull_of=lambda rec: rec[3].nfull):
+                released = set()
+
+                def done(i, planes, wave=wave, released=released):
+                    job_id, parts, t0, prep = wave[i]
+                    released.add(i)
+                    self.pool.submit(self._finish, job_id, parts, prep, planes, t0)
+
+                try:
+                    P.run_group_wave([rec[3] for rec in wave], done)
+                except Exception:  # noqa: BLE001 — wave failed mid-flight
+                    # unreleased files take the ordinary per-job path
+                    # (fresh read + per-file pipeline; same bytes)
+                    for i, (job_id, parts, _t0, _p) in enumerate(wave):
+                        if i not in released:
+                            self.pool.submit(self._fallback, job_id, parts)
+
+
 def serve(argv=None, stdin=None, stdout=None):
     """Run the service loop; returns the process exit code."""
     argv = list(sys.argv[1:] if argv is None else argv)
     workers = 1
     warm_blocks = None
+    pooling = os.environ.get("LAC_TPU_SERVE_POOL", "1") != "0"
     for flag in argv:
         if flag.startswith("--workers="):
             try:
@@ -214,9 +353,13 @@ def serve(argv=None, stdin=None, stdout=None):
             except ValueError:
                 sys.stderr.write(f"Bad flag value: {flag}\n")
                 return 1
+        elif flag == "--no-pool":
+            pooling = False
+        elif flag == "--pool":
+            pooling = True
         else:
             sys.stderr.write(
-                "Usage: python -m lac_tpu.serve [--workers=N] [--warm[=BLOCKS]]\n"
+                "Usage: python -m lac_tpu.serve [--workers=N] [--warm[=BLOCKS]] [--no-pool]\n"
             )
             return 1
 
@@ -258,6 +401,18 @@ def serve(argv=None, stdin=None, stdout=None):
 
     pool = ThreadPoolExecutor(max_workers=workers)
     outstanding = []
+
+    def _handle_fwd(job_id, parts):
+        return handle(job_id, parts)
+
+    # cross-file chunk batching: only with --workers>1 — a single-worker
+    # service keeps strict job FIFO (piped encode-then-decode scripts
+    # rely on it), which batching inherently reorders
+    batcher = (
+        _PoolBatcher(pool, _handle_fwd, lambda obj: _respond(lock, real_out, obj))
+        if pooling and workers > 1
+        else None
+    )
 
     def handle(job_id, parts):
         t0 = time.perf_counter()
@@ -311,8 +466,11 @@ def serve(argv=None, stdin=None, stdout=None):
                 drained, outstanding[:] = list(outstanding), []
                 for fut in drained:
                     fut.result()
+                n_drained = len(drained)
+                if batcher is not None:
+                    n_drained += batcher.drain()
                 _respond(lock, real_out,
-                         {"id": job_id, "ok": True, "drained": len(drained)})
+                         {"id": job_id, "ok": True, "drained": n_drained})
                 continue
             if cmd in ("encode", "decode", "warm"):
                 if cmd in ("encode", "decode") and len(parts) < 3:
@@ -320,6 +478,9 @@ def serve(argv=None, stdin=None, stdout=None):
                         "id": job_id, "ok": False, "rc": 1,
                         "error": f"usage: {cmd} <in> <out> [flags...]",
                     })
+                    continue
+                if cmd == "encode" and batcher is not None:
+                    batcher.submit(job_id, parts)
                     continue
                 outstanding.append(pool.submit(handle, job_id, parts))
                 if len(outstanding) > 4 * workers:  # keep the list bounded
@@ -331,6 +492,8 @@ def serve(argv=None, stdin=None, stdout=None):
     except (KeyboardInterrupt, BrokenPipeError):
         pass  # signal or client-gone: drain and exit cleanly below
     finally:
+        if batcher is not None:
+            batcher.close()  # process remaining queued encodes first
         pool.shutdown(wait=True)
         sys.stdout, sys.stderr = prev_out, prev_err
         if fd_saved is not None:
