@@ -5,8 +5,11 @@ The reference is a one-shot CLI: every file pays a process launch. Our
 device path pays executable loads once per process — hopeless one-shot,
 amortized to zero in `lac_tpu.serve`. This measures that story
 end-to-end: N fresh 30 s stereo WAVs encoded through ONE serve process
-(wall-clocked after `warm`), vs the reference CLI run once per file,
-byte-compared for parity on every output.
+(wall-clocked after `warm`), then decoded back through the same process,
+vs the reference CLI run once per file, byte-compared for parity on
+every output (encodes vs the reference stream, decodes vs the input
+WAV). With --workers>1 the serve batcher pools the encodes' full blocks
+into shared device chunks (lac_tpu.pool).
 
 Fresh content per file (the axon terminal memoizes identical
 executions); run alone on the host (1-core timing).
@@ -85,10 +88,23 @@ def main():
             send(f"encode {w} {td / f'f{i}.lac'}")
         results = [recv() for _ in wavs]
         wall = time.perf_counter() - t0
+        assert all(r["ok"] for r in results), results
+
+        # decode serving aggregate: the same N files back to WAV through
+        # the same warm process (native v3 pool per job; pool scaling
+        # itself awaits a multicore host — this box has one core)
+        t0 = time.perf_counter()
+        for i in range(n_files):
+            send(f"decode {td / f'f{i}.lac'} {td / f'd{i}.wav'}")
+        dec_results = [recv() for _ in wavs]
+        dec_wall = time.perf_counter() - t0
         send("quit")
         proc.stdin.close()
         proc.wait(timeout=60)
-        assert all(r["ok"] for r in results), results
+        assert all(r["ok"] for r in dec_results), dec_results
+        for i, w in enumerate(wavs):
+            assert (td / f"d{i}.wav").read_bytes() == w.read_bytes(), \
+                f"decode mismatch on file {i}"
 
         # reference CLI, one process per file (its normal usage)
         t0 = time.perf_counter()
@@ -97,6 +113,14 @@ def main():
                                capture_output=True)
             assert r.returncode == 0, r.stderr
         ref_wall = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for i in range(n_files):
+            r = subprocess.run(
+                [str(REF), "decode", str(td / f"r{i}.lac"), str(td / f"rd{i}.wav")],
+                capture_output=True)
+            assert r.returncode == 0, r.stderr
+        ref_dec_wall = time.perf_counter() - t0
 
         for i in range(n_files):
             ours = (td / f"f{i}.lac").read_bytes()
@@ -115,6 +139,10 @@ def main():
             "ref_value": round(n_files * FRAMES / ref_wall, 1),
             "vs_ref": round(ref_wall / wall, 3),
             "per_file_ms_min": per_ms[0], "per_file_ms_max": per_ms[-1],
+            "decode_value": round(n_files * FRAMES / dec_wall, 1),
+            "decode_wall_s": round(dec_wall, 2),
+            "decode_ref_value": round(n_files * FRAMES / ref_dec_wall, 1),
+            "decode_vs_ref": round(ref_dec_wall / dec_wall, 3),
             "parity": "byte-identical",
         }))
     return 0
