@@ -5,7 +5,12 @@ third-party linters are installable, so this is self-contained).
 1. Python: compile every source file, then AST-check for unused
    imports, duplicate function/class definitions in a scope, and
    ``except:`` bare handlers.
-2. C++: compile the native runtime with -Wall -Wextra -Wshadow -Werror.
+2. C++: compile the native runtime with -Wall -Wextra -Wshadow -Werror,
+   then run GCC's symbolic-execution static analyzer (-fanalyzer) over
+   it — the deep-analysis analog of the reference's CodeQL job
+   (reference .github/workflows/codeql.yml) for a parser of untrusted
+   bitstreams. CI additionally runs clang-tidy (bugprone-*, cert-*,
+   clang-analyzer-*; see .clang-tidy), which isn't installable here.
 
 Exit code 0 = clean. Run by the CI lint job and locally via
 ``python scripts/lint.py``.
@@ -102,6 +107,16 @@ def main():
     )
     if cpp.returncode != 0:
         problems.append(f"native runtime -Wall -Wextra -Werror failed:\n{cpp.stderr}")
+
+    # -fanalyzer needs real code generation (it runs on GIMPLE, not
+    # syntax); -O1 keeps the interprocedural exploration tractable
+    ana = subprocess.run(
+        ["g++", "-fanalyzer", "-O1", "-std=c++17", "-fPIC", "-Werror",
+         "-c", str(CPP), "-o", "/dev/null"],
+        capture_output=True, text=True,
+    )
+    if ana.returncode != 0:
+        problems.append(f"native runtime -fanalyzer failed:\n{ana.stderr[-4000:]}")
 
     for p in problems:
         print(p)
