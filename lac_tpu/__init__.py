@@ -23,7 +23,7 @@ CLI decoder, WAV tools — never pay backend initialization.
 
 import os
 
-__version__ = "0.1.0"
+__version__ = "0.1.1"
 
 _JAX_CONFIGURED = False
 
