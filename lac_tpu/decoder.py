@@ -653,7 +653,11 @@ class FrameDecoder:
         import os as _os
 
         from .io.wav import _pcm_bytes, write_wav_unchecked_samples
-        from .runtime.native import decode_v3_blocks_native, native_available
+        from .runtime.native import (
+            decode_v3_blocks_native,
+            decode_v3_to_pcm_native,
+            native_available,
+        )
 
         hdr, br, payload, block_sizes, payload_sizes = self._parse_frame(data)
         streaming = (
@@ -714,7 +718,10 @@ class FrameDecoder:
                     chunk_samples = int(sample_off[b1] - sample_off[b0])
                     sub_payload = block_payload[int(payload_off[b0]) : int(payload_off[b1])]
                     try:
-                        left, right = decode_v3_blocks_native(
+                        # blocks pack straight to interleaved WAV bytes
+                        # inside the native workers (cache-hot; no int32
+                        # planes, no host interleave pass)
+                        pcm = decode_v3_to_pcm_native(
                             sub_payload,
                             payload_off[b0:b1] - payload_off[b0],
                             ps[b0:b1],
@@ -726,10 +733,24 @@ class FrameDecoder:
                             chunk_samples,
                             self.thread_count,
                         )
+                        if pcm is None:  # pragma: no cover - gated above
+                            left, right = decode_v3_blocks_native(
+                                sub_payload,
+                                payload_off[b0:b1] - payload_off[b0],
+                                ps[b0:b1],
+                                bs[b0:b1],
+                                sample_off[b0:b1] - sample_off[b0],
+                                hdr.channels,
+                                hdr.stereo_mode,
+                                hdr.bit_depth,
+                                chunk_samples,
+                                self.thread_count,
+                            )
+                            pcm = _pcm_bytes(left, right, hdr.channels, hdr.bit_depth)
                     except ValueError as e:
                         bad = b0 + int(str(e).split("=")[1])
                         raise DecodeError(f"[decode-error] block={bad} channel=primary")
-                    f.write(_pcm_bytes(left, right, hdr.channels, hdr.bit_depth))
+                    f.write(pcm)
                     b0 = b1
                 if data_padding:
                     f.write(b"\x00")

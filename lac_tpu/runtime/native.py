@@ -82,6 +82,12 @@ def get_native():
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
             i32p, i32p, ctypes.c_int32,
         ]
+        lib.lac_decode_v3_to_pcm.restype = ctypes.c_int
+        lib.lac_decode_v3_to_pcm.argtypes = [
+            u8p, u64p, u64p, u32p, u64p,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            u8p, ctypes.c_int32,
+        ]
         lib.lac_decode_v2_stream.restype = ctypes.c_int
         lib.lac_decode_v2_stream.argtypes = [
             u8p, ctypes.c_uint64, u32p, u64p,
@@ -441,6 +447,42 @@ def decode_v3_blocks_native(payload, payload_offsets, payload_sizes, block_sizes
     if status != 0:
         raise ValueError(f"block={-status - 1}")
     return left, right
+
+
+def decode_v3_to_pcm_native(payload, payload_offsets, payload_sizes, block_sizes,
+                            sample_offsets, channels, stereo_mode, bit_depth,
+                            total_samples, num_threads=0):
+    """Native parallel v3 decode straight into interleaved little-endian
+    WAV PCM bytes (the reference CLI's mmap fast-path analog,
+    main.cpp:184-430): blocks pack cache-hot inside the decode workers,
+    skipping the whole-file int32 planes and the host interleave pass.
+
+    Returns a uint8 array of ``total_samples * block_align`` bytes,
+    raises ValueError on a bad block, or returns None when the native
+    library is unavailable.
+    """
+    lib = get_native()
+    if lib is None:
+        return None
+    payload = np.frombuffer(payload, dtype=np.uint8)
+    po = np.ascontiguousarray(payload_offsets, dtype=np.uint64)
+    ps = np.ascontiguousarray(payload_sizes, dtype=np.uint64)
+    bs = np.ascontiguousarray(block_sizes, dtype=np.uint32)
+    so = np.ascontiguousarray(sample_offsets, dtype=np.uint64)
+    out = np.empty(total_samples * channels * (bit_depth // 8), dtype=np.uint8)
+    status = lib.lac_decode_v3_to_pcm(
+        _ptr(payload, ctypes.c_uint8),
+        _ptr(po, ctypes.c_uint64),
+        _ptr(ps, ctypes.c_uint64),
+        _ptr(bs, ctypes.c_uint32),
+        _ptr(so, ctypes.c_uint64),
+        len(bs), channels, stereo_mode, bit_depth,
+        _ptr(out, ctypes.c_uint8),
+        num_threads,
+    )
+    if status != 0:
+        raise ValueError(f"block={-status - 1}")
+    return out
 
 
 def decode_v2_stream_native(payload, block_sizes, sample_offsets, channels,

@@ -732,6 +732,120 @@ int lac_decode_v3_blocks(const uint8_t* payload,
   return status.load();
 }
 
+// decode a batch of v3 block payloads straight into interleaved
+// little-endian WAV PCM bytes — the reference CLI's mmap fast-path analog
+// (main.cpp:184-430: workers pack finished blocks at their computed byte
+// offsets). Each worker decodes into thread-local scratch and packs while
+// the block is cache-hot, so the whole-file int32 channel planes never
+// exist and the host skips a separate interleave pass.
+// returns 0 on success; -(block_index+1) identifies the first failing block.
+int lac_decode_v3_to_pcm(const uint8_t* payload,
+                         const uint64_t* payload_offsets,
+                         const uint64_t* payload_sizes,
+                         const uint32_t* block_sizes,
+                         const uint64_t* sample_offsets,
+                         uint32_t block_count,
+                         uint32_t channels,
+                         uint32_t stereo_mode,  // 0 LR, 1 MS, 2 per-block
+                         uint32_t bit_depth,
+                         uint8_t* out_pcm,
+                         int32_t num_threads) {
+  const bool is_stereo = channels == 2;
+  const bool per_block = is_stereo && stereo_mode == 2;
+  const bool force_ms = is_stereo && stereo_mode == 1;
+  const uint32_t bytes_per = bit_depth / 8;
+  const uint32_t block_align = channels * bytes_per;
+
+  std::atomic<uint32_t> next{0};
+  std::atomic<int> status{0};
+
+  auto worker = [&]() {
+    tc_note();
+    std::vector<int32_t> lbuf(kMaxBlock), rbuf(is_stereo ? kMaxBlock : 0);
+    while (status.load(std::memory_order_relaxed) == 0) {
+      const uint32_t bi = next.fetch_add(1, std::memory_order_relaxed);
+      if (bi >= block_count) return;
+      Reader r;
+      reader_init(r, payload + payload_offsets[bi], payload_sizes[bi]);
+      bool mid_side = force_ms;
+      if (per_block) {
+        const uint32_t flag = static_cast<uint32_t>(read_bits(r, 8));
+        if (r.err || flag > 1) {
+          int expect = 0;
+          status.compare_exchange_strong(expect, -static_cast<int>(bi) - 1);
+          return;
+        }
+        mid_side = flag == 1;
+      }
+      const uint32_t n = block_sizes[bi];
+      int32_t* lp = lbuf.data();
+      int32_t* rp = is_stereo ? rbuf.data() : nullptr;
+      bool ok = n <= kMaxBlock && decode_channel_block(r, n, lp);
+      if (ok && is_stereo) ok = decode_channel_block(r, n, rp);
+      if (ok && bits_remaining(r) != 0) ok = false;
+      if (ok) ok = finish_block_pcm(is_stereo, mid_side, bit_depth, lp, rp, n);
+      if (!ok) {
+        int expect = 0;
+        status.compare_exchange_strong(expect, -static_cast<int>(bi) - 1);
+        return;
+      }
+      uint8_t* dst = out_pcm + sample_offsets[bi] * block_align;
+      if (bit_depth == 16) {
+        if (is_stereo) {
+          for (uint32_t i = 0; i < n; ++i) {
+            const uint32_t l = static_cast<uint16_t>(lp[i]);
+            const uint32_t rr = static_cast<uint16_t>(rp[i]);
+            dst[4 * i + 0] = static_cast<uint8_t>(l);
+            dst[4 * i + 1] = static_cast<uint8_t>(l >> 8);
+            dst[4 * i + 2] = static_cast<uint8_t>(rr);
+            dst[4 * i + 3] = static_cast<uint8_t>(rr >> 8);
+          }
+        } else {
+          for (uint32_t i = 0; i < n; ++i) {
+            const uint32_t l = static_cast<uint16_t>(lp[i]);
+            dst[2 * i + 0] = static_cast<uint8_t>(l);
+            dst[2 * i + 1] = static_cast<uint8_t>(l >> 8);
+          }
+        }
+      } else {  // 24-bit: 3-byte little-endian triplets
+        if (is_stereo) {
+          for (uint32_t i = 0; i < n; ++i) {
+            const uint32_t l = static_cast<uint32_t>(lp[i]);
+            const uint32_t rr = static_cast<uint32_t>(rp[i]);
+            dst[6 * i + 0] = static_cast<uint8_t>(l);
+            dst[6 * i + 1] = static_cast<uint8_t>(l >> 8);
+            dst[6 * i + 2] = static_cast<uint8_t>(l >> 16);
+            dst[6 * i + 3] = static_cast<uint8_t>(rr);
+            dst[6 * i + 4] = static_cast<uint8_t>(rr >> 8);
+            dst[6 * i + 5] = static_cast<uint8_t>(rr >> 16);
+          }
+        } else {
+          for (uint32_t i = 0; i < n; ++i) {
+            const uint32_t l = static_cast<uint32_t>(lp[i]);
+            dst[3 * i + 0] = static_cast<uint8_t>(l);
+            dst[3 * i + 1] = static_cast<uint8_t>(l >> 8);
+            dst[3 * i + 2] = static_cast<uint8_t>(l >> 16);
+          }
+        }
+      }
+    }
+  };
+
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  if (num_threads > 0 && static_cast<unsigned>(num_threads) < hw) hw = static_cast<unsigned>(num_threads);
+  if (hw > block_count) hw = block_count;
+  if (hw <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(hw);
+    for (unsigned i = 0; i < hw; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return status.load();
+}
+
 // decode a v2 legacy stream: blocks are NOT byte-bounded (no payload-size
 // table, reference format.md:40-47), so decode is serial in-order over one
 // reader, exactly like the reference library path (lac/decoder.cpp:209-218).

@@ -81,3 +81,26 @@ def test_streaming_rejects_corrupt_block(tmp_path, monkeypatch):
     out = tmp_path / "bad.wav"
     with pytest.raises(DecodeError):
         FrameDecoder().decode_to_wav(bytes(data), str(out))
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime unavailable")
+@pytest.mark.parametrize("depth", [16, 24])
+@pytest.mark.parametrize("mode,stereo", [(0, False), (0, True), (1, True), (2, True)])
+def test_native_pcm_pack_matrix(tmp_path, depth, mode, stereo):
+    """The in-worker PCM pack (lac_decode_v3_to_pcm — blocks write
+    interleaved little-endian WAV bytes cache-hot, reference
+    main.cpp:150-182 pack semantics) must equal the planes +
+    numpy-interleave path bit-for-bit across depth x layout x stereo
+    mode."""
+    n = 16384 + 777
+    amp = 20000 if depth == 16 else 0x500000
+    left = sine(n, 44100, 220.0, amp) + lcg_noise(n, amp // 50, 31)
+    right = sine(n, 44100, 227.0, amp - 1) + lcg_noise(n, amp // 40, 32)
+    enc = FrameEncoder(12, mode if stereo else 0, 44100, depth)
+    data = enc.encode(left, right) if stereo else enc.encode(left)
+
+    expected = _reference_wav_bytes(tmp_path, data)
+    out = tmp_path / "packed.wav"
+    res = FrameDecoder().decode_to_wav(data, str(out))
+    assert res is not None and res[0] == n
+    assert out.read_bytes() == expected
