@@ -172,6 +172,12 @@ def warm_process(blocks=128):
                 for dt in (np.int16, np.int32):
                     jax.block_until_ready(DP._jitted_padrows(b, K, str(np.dtype(dt)))(
                         jax.device_put(np.zeros((b, DP.N), dt))))
+            # 24-bit byte-plane uploads: fused pad+unpack executables
+            # (every bucket rung plus the full-chunk shape)
+            if DP._pack24_enabled("int32", None):
+                for b in (*range(step, K, step), K):
+                    jax.block_until_ready(DP._jitted_unpack24(b, K)(
+                        jax.device_put(np.zeros((3, b, DP.N), np.uint8))))
         # stereo-probe executables: the synthetic encode's strongly-
         # correlated content decides every block certainly, so the
         # uncertain-block probe gather + probe plan never load from it —

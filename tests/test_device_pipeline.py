@@ -174,3 +174,30 @@ def test_production_shape_parity(monkeypatch):
     l, r = _signal(16384 * 130, 77)
     a, b = _both(2, 16, l, r)
     assert a == b
+
+
+def test_pack24_toggle_parity(monkeypatch):
+    """24-bit byte-plane uploads (default) and whole-int32 uploads
+    (LAC_TPU_UPLOAD_PACK24=0) must produce identical bytes; the unpack
+    executable must sign-extend exactly (io/wav.py _sign_extend)."""
+    # unit: device unpack inverts the host pack at the 24-bit extremes
+    rng = np.random.RandomState(9)
+    m = rng.randint(-(1 << 23), 1 << 23, (4, DP.N)).astype(np.int32)
+    m[0, :4] = (-(1 << 23), (1 << 23) - 1, -1, 0)
+    got = np.asarray(DP._jitted_unpack24(4, 6)(DP._pack24_host(m)))
+    assert got.shape == (6, DP.N)
+    assert np.array_equal(got[:4], m) and not got[4:].any()
+
+    assert DP._pack24_enabled("int32", None)
+    assert not DP._pack24_enabled("int16", None)
+    assert not DP._pack24_enabled("int32", object())  # mesh keeps rows
+    monkeypatch.setenv("LAC_TPU_UPLOAD_PACK24", "0")
+    assert not DP._pack24_enabled("int32", None)
+    monkeypatch.delenv("LAC_TPU_UPLOAD_PACK24", raising=False)
+
+    # partial chunk (9 < K=16) + tail: bucket rung with fused pad
+    l, r = _signal(16384 * 9 + 777, 23, depth=24)
+    a, legacy = _both(2, 24, l, r)
+    monkeypatch.setenv("LAC_TPU_UPLOAD_PACK24", "0")
+    a0 = FrameEncoder(12, 2, 44100, 24, xp=jnp).encode(l, r)
+    assert a == a0 == legacy
