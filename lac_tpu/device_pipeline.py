@@ -238,12 +238,23 @@ def _upload_bucket(kc, K, mesh):
 def _pack24_enabled(dtype_str, mesh):
     """24-bit planes ship as three u8 byte-planes (-25% on the
     bottleneck host->device link; 16-bit planes are already minimal
-    int16). Mesh path keeps whole int32 rows (shard layouts)."""
-    return (
-        dtype_str == "int32"
-        and mesh is None
-        and os.environ.get("LAC_TPU_UPLOAD_PACK24", "1") != "0"
-    )
+    int16). Mesh path keeps whole int32 rows (shard layouts).
+
+    Default is backend-aware: on accelerators the link is the pipeline
+    bottleneck and fewer bytes win; on CPU-JAX there is no transfer, so
+    the host pack + device unpack is pure overhead (measured 5x slower
+    at small scale). LAC_TPU_UPLOAD_PACK24=1/0 forces either way."""
+    if dtype_str != "int32" or mesh is not None:
+        return False
+    forced = os.environ.get("LAC_TPU_UPLOAD_PACK24")
+    if forced is not None:
+        return forced != "0"
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - no jax backend at all
+        return False
 
 
 def _pack24_host(m):

@@ -188,15 +188,19 @@ def test_pack24_toggle_parity(monkeypatch):
     assert got.shape == (6, DP.N)
     assert np.array_equal(got[:4], m) and not got[4:].any()
 
+    # default is backend-aware: off on CPU-JAX (no link to save),
+    # on for accelerators; the env var forces either way
+    assert not DP._pack24_enabled("int32", None)  # CPU backend here
+    monkeypatch.setenv("LAC_TPU_UPLOAD_PACK24", "1")
     assert DP._pack24_enabled("int32", None)
     assert not DP._pack24_enabled("int16", None)
     assert not DP._pack24_enabled("int32", object())  # mesh keeps rows
     monkeypatch.setenv("LAC_TPU_UPLOAD_PACK24", "0")
     assert not DP._pack24_enabled("int32", None)
-    monkeypatch.delenv("LAC_TPU_UPLOAD_PACK24", raising=False)
 
     # partial chunk (9 < K=16) + tail: bucket rung with fused pad
     l, r = _signal(16384 * 9 + 777, 23, depth=24)
+    monkeypatch.setenv("LAC_TPU_UPLOAD_PACK24", "1")
     a, legacy = _both(2, 24, l, r)
     monkeypatch.setenv("LAC_TPU_UPLOAD_PACK24", "0")
     a0 = FrameEncoder(12, 2, 44100, 24, xp=jnp).encode(l, r)
