@@ -82,8 +82,13 @@ def prepare_encode_job(parts):
         or opts["debug_lpc"]
         or opts["debug_stereo_est"]
         or opts["debug_partitions"]
+        or opts["debug_threads"]
     ):
-        return None  # debug paths print per-block data; keep them one-shot
+        # debug paths print per-block / per-encode data that a shared
+        # wave would perturb (--debug-threads counts this job's own
+        # emission workers; the wave emits with group[0]'s settings
+        # before the collector resets) — keep them one-shot
+        return None
     if paths_refer_to_same_file(in_path, out_path):
         return None
     if not is_jax(cli._encoder_xp()) or not native_available():
@@ -94,13 +99,22 @@ def prepare_encode_job(parts):
         stream_threshold = int(os.environ.get("LAC_TPU_STREAM_BLOCKS", "2048"))
     except ValueError:
         stream_threshold = 2048
+    # scan before read (cli.py orders the same way): a file headed for
+    # the bounded-memory streaming route must not be materialized whole
+    # here first — that is the exact spike the route exists to prevent
+    from .stream import scan_wav
+
+    info = scan_wav(in_path)
+    if info is None:
+        return None
+    nblocks = -(-info.frames // C.MAX_BLOCK_SIZE)
+    if stream_threshold > 0 and nblocks >= stream_threshold:
+        return None  # bounded-memory streaming route
     wav = read_wav(in_path)
     if wav is None:
         return None
     left, right, channels, sample_rate, bit_depth = wav
     nblocks = -(-len(left) // C.MAX_BLOCK_SIZE)
-    if stream_threshold > 0 and nblocks >= stream_threshold:
-        return None  # bounded-memory streaming route
     nfull = nblocks - (1 if len(left) % C.MAX_BLOCK_SIZE else 0)
     if nfull < 1:
         return None

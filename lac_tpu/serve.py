@@ -290,26 +290,40 @@ class _PoolBatcher:
         from . import cli
 
         try:
-            cli._set_encode_injection(prep.in_path, prep.wav, planes)
             try:
-                rc, out_text, err_text = run_job(parts)
-            finally:
-                cli._pop_encode_injection(prep.in_path)  # defensive clear
-            res = {"id": job_id, "ok": rc == 0, "rc": rc}
-            if out_text.strip():
-                res["message"] = out_text.strip()
-            if err_text.strip():
-                res["error"] = err_text.strip()
-        except Exception as e:  # noqa: BLE001 — service boundary
-            res = {"id": job_id, "ok": False, "rc": 1, "error": str(e)}
+                cli._set_encode_injection(prep.in_path, prep.wav, planes)
+                try:
+                    rc, out_text, err_text = run_job(parts)
+                finally:
+                    cli._pop_encode_injection(prep.in_path)  # defensive clear
+                res = {"id": job_id, "ok": rc == 0, "rc": rc}
+                if out_text.strip():
+                    res["message"] = out_text.strip()
+                if err_text.strip():
+                    res["error"] = err_text.strip()
+            except Exception as e:  # noqa: BLE001 — service boundary
+                res = {"id": job_id, "ok": False, "rc": 1, "error": str(e)}
+            res["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+            self.respond(res)
         finally:
+            # ack only AFTER the response is on the wire: drain()/wait
+            # promises every accepted job has been responded to (the
+            # non-pooled path responds inside handle() before its
+            # future resolves)
             self._done_one()
-        res["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
-        self.respond(res)
 
     def _process(self, batch, P):
         groups = {}
-        for job_id, parts, t0 in batch:
+        pooled_blocks = 0
+        for bi, (job_id, parts, t0) in enumerate(batch):
+            if pooled_blocks >= P._MAX_WAVE_BLOCKS:
+                # prescreening reads each WAV whole; cap what is resident
+                # at once to ~one wave's worth and requeue the remainder
+                # at the FRONT (order-preserving — submit already counted
+                # their busy/fenced) for the next loop pass
+                with self.cv:
+                    self.pending[:0] = batch[bi:]
+                break
             prep = None
             try:
                 prep = P.prepare_encode_job(parts)
@@ -319,6 +333,7 @@ class _PoolBatcher:
                 self.pool.submit(self._fallback, job_id, parts)
             else:
                 groups.setdefault(prep.key, []).append((job_id, parts, t0, prep))
+                pooled_blocks += prep.nfull
         for jobs in groups.values():
             for wave in P.split_waves(jobs, nfull_of=lambda rec: rec[3].nfull):
                 released = set()

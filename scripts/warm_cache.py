@@ -60,17 +60,25 @@ def warm_planes():
 
 def warm_pads():
     """Partial-chunk upload-bucket pad executables (device_pipeline
-    _jitted_padrows): one per (bucket, K, dtype)."""
+    _jitted_padrows), one per (bucket, K, dtype), plus the fused 24-bit
+    pad+unpack executables when pack24 is on for this backend. The step
+    MUST come from the shared env-derived grid (DP._bucket_step honors
+    LAC_TPU_UPLOAD_BUCKET_DIV) or the warmed shapes miss what a real
+    partial chunk requests."""
     from lac_tpu import device_pipeline as DP
 
     widths = (DP.CHUNK_BLOCKS,) if DP.CHUNK_BLOCKS else DP.CHUNK_LADDER
     t0 = time.time()
     for K in widths:
-        step = max(1, K // 4)
+        step = DP._bucket_step(K)
         for b in range(step, K, step):
             for dt in (np.int16, np.int32):
                 jax.block_until_ready(DP._jitted_padrows(b, K, str(np.dtype(dt)))(
                     jax.device_put(np.zeros((b, DP.N), dt))))
+        if DP._pack24_enabled("int32", None):
+            for b in (*range(step, K, step), K):
+                jax.block_until_ready(DP._jitted_unpack24(b, K)(
+                    jax.device_put(np.zeros((3, b, DP.N), np.uint8))))
     print(f"upload-bucket pads: {time.time() - t0:.1f}s", flush=True)
 
 

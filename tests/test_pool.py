@@ -109,9 +109,26 @@ def test_prepare_encode_job_prescreen(tmp_path, monkeypatch):
 
     # debug flags, parse errors, missing input, same path -> fallback
     assert prepare_encode_job(["encode", wav, out, "--debug-zr"]) is None
+    # --debug-threads counts this job's own emission workers; a shared
+    # wave would perturb the reported count -> one-shot path
+    assert prepare_encode_job(["encode", wav, out, "--debug-threads"]) is None
     assert prepare_encode_job(["encode", wav, out, "--bogus"]) is None
     assert prepare_encode_job(["encode", str(tmp_path / "nope.wav"), out]) is None
     assert prepare_encode_job(["encode", wav, wav]) is None
+    # a streaming-route file must be rejected from the WAV SCAN alone,
+    # never materialized whole first (that is the spike the streaming
+    # route exists to prevent)
+    monkeypatch.setenv("LAC_TPU_STREAM_BLOCKS", "1")
+
+    def _boom(path):  # read_wav must not be reached
+        raise AssertionError("streaming-route prescreen read the whole WAV")
+
+    import lac_tpu.io as lio
+
+    monkeypatch.setattr(lio, "read_wav", _boom)
+    assert prepare_encode_job(["encode", wav, out]) is None
+    monkeypatch.undo()
+    monkeypatch.setenv("LAC_TPU_BACKEND", "jax")
     # numpy backend -> fallback
     monkeypatch.setenv("LAC_TPU_BACKEND", "numpy")
     assert prepare_encode_job(["encode", wav, out]) is None
