@@ -215,9 +215,12 @@ def run_group_wave(group, file_done, template_enc=None):
     assert state["next"] == len(spans), "wave ended with unreleased files"
 
 
-def split_waves(records, nfull_of=lambda r: r.nfull, max_blocks=_MAX_WAVE_BLOCKS):
+def split_waves(records, nfull_of=lambda r: r.nfull, max_blocks=None):
     """Split a compatible group into bounded-memory waves (greedy; a
     single file larger than the cap still forms its own wave)."""
+    if max_blocks is None:
+        max_blocks = _MAX_WAVE_BLOCKS  # read at call time: serve's
+        # prescreen-residency cap reads the module attribute too
     waves, cur, blocks = [], [], 0
     for r in records:
         if cur and blocks + nfull_of(r) > max_blocks:

@@ -181,3 +181,84 @@ def test_serve_pooled_matches_cli(tmp_path):
         assert q.returncode == 0, q.stderr
         assert open(o, "rb").read() == open(cli_out, "rb").read()
     assert open(tmp_path / "back.wav", "rb").read() == open(wavs[0], "rb").read()
+
+
+def test_pool_batcher_requeue_fallback_and_drain(monkeypatch):
+    """In-process _PoolBatcher scheduling contract: a drained batch
+    whose pooled blocks exceed pool._MAX_WAVE_BLOCKS is split across
+    loop passes with order preserved (prescreen-residency cap), jobs
+    that can't pool take the per-job fallback, every accepted job is
+    responded to exactly once, and drain() returns only after the
+    responses are on the wire (the wait-fence guarantee)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import lac_tpu.pool as P
+    import lac_tpu.serve as serve_mod
+
+    monkeypatch.setattr(P, "_MAX_WAVE_BLOCKS", 2)
+
+    gate = threading.Event()  # holds wave 0 so later submits pile up
+    waves_run = []
+
+    def fake_prepare(parts):
+        if parts[1] == "fallback.wav":
+            return None
+        prep = P.PreparedEncode(
+            parts=list(parts), in_path=parts[1], wav=None,
+            kind="auto", nfull=1, dt=np.int16,
+        )
+        prep.key = ("auto", "<i2", True)
+        return prep
+
+    def fake_run_group_wave(group, file_done):
+        if not waves_run:
+            gate.wait(timeout=60)
+        waves_run.append([g.in_path for g in group])
+        for i in range(len(group)):
+            file_done(i, ({}, {}, {}))
+
+    monkeypatch.setattr(P, "prepare_encode_job", fake_prepare)
+    monkeypatch.setattr(P, "run_group_wave", fake_run_group_wave)
+    monkeypatch.setattr(serve_mod, "run_job",
+                        lambda argv: (0, f"Encoded {argv[1]}", ""))
+
+    responses, rlock = [], threading.Lock()
+
+    def respond(obj):
+        with rlock:
+            responses.append(dict(obj))
+
+    def handle(job_id, parts):  # ordinary per-job path (fallbacks)
+        respond({"id": job_id, "ok": True, "message": "fallback"})
+
+    pool = ThreadPoolExecutor(2)
+    b = serve_mod._PoolBatcher(pool, handle, respond)
+    try:
+        b.submit(1, ["encode", "w1.wav", "o1"])
+        # wait until the batcher thread is inside wave 0 (pending empty)
+        for _ in range(600):
+            with b.cv:
+                if not b.pending and b.busy == 1:
+                    break
+            import time as _t
+            _t.sleep(0.01)
+        for jid, path in ((2, "w2.wav"), (3, "w3.wav"), (4, "fallback.wav"),
+                          (5, "w5.wav"), (6, "w6.wav"), (7, "w7.wav")):
+            b.submit(jid, ["encode", path, f"o{jid}"])
+        gate.set()
+        assert b.drain() == 7
+        with rlock:
+            got = {r["id"] for r in responses}
+            n = len(responses)
+        assert got == {1, 2, 3, 4, 5, 6, 7} and n == 7
+        # wave 0 ran alone; the piled-up batch split at the 2-block cap
+        # with submission order preserved across requeue passes
+        assert waves_run[0] == ["w1.wav"]
+        assert waves_run[1:] == [["w2.wav", "w3.wav"], ["w5.wav", "w6.wav"],
+                                 ["w7.wav"]]
+        assert any(r.get("message") == "fallback" for r in responses)
+    finally:
+        gate.set()
+        b.close()
+        pool.shutdown(wait=True)
