@@ -354,9 +354,119 @@ def edges_adapt_bias(scale, seed0):
             yield f"bias-zero f={f:.3f} rep={rep}", _clip(x, 16), None, 44100, 16, 0
 
 
+def edges_ladder(scale, seed0):
+    """LPC residual int32-overflow fallback ladder {12,10,8,6,4,0}
+    (reference lpc.cpp:188-229): repeatedly integrated noise at 24-bit
+    full scale has near-unit-circle poles, so direct-form Q15 coeffs
+    grow binomially (hundreds) and the order-12 dot product crosses the
+    int32 range check; amplitude swept across the overflow boundary."""
+    for rep in range(scale):
+        rng = np.random.RandomState(seed0 + 14000 + rep)
+        for integ in (2, 4, 6, 8, 10, 12):
+            for amp_frac in (0.2, 0.6, 0.9, 0.999):
+                n = 16384 + 50
+                x = rng.randn(n)
+                for _ in range(integ):
+                    x = np.cumsum(x)
+                    x -= x.mean()
+                peak = np.abs(x).max() or 1.0
+                x = x * ((1 << 23) - 1) * amp_frac / peak
+                yield (
+                    f"ladder integ={integ} a={amp_frac} rep={rep}",
+                    _clip(x, 24), None, 96000, 24, 0,
+                )
+        # smooth tone at full 24-bit scale + integrated-noise floor:
+        # high predictability with huge dynamic range
+        t = np.arange(16384, dtype=np.float64)
+        for f0 in (30.0, 61.7, 123.4):
+            x = ((1 << 23) - 2) * np.sin(2 * np.pi * f0 * t / 96000)
+            d = np.cumsum(np.cumsum(rng.randn(16384)))
+            x += d * 1000.0 / (np.abs(d).max() or 1.0)
+            yield f"ladder-tone f={f0} rep={rep}", _clip(x, 24), None, 96000, 24, 0
+
+
+def edges_k_drift(scale, seed0):
+    """Adaptive-k long walks: background u crosses bit_width(mean-1)
+    boundaries (mean pinned just below/at/above 2^m) and ramps that
+    drag k monotonically up then down many steps inside one partition
+    (rice.hpp:45-114 global-mean recompute + drift window)."""
+    for rep in range(scale):
+        rng = np.random.RandomState(seed0 + 15000 + rep)
+        n = 8192
+        for m in (2, 4, 6, 8, 10):
+            for off in (-2, -1, 0, 1, 2):
+                mean = (1 << m) + off
+                if mean < 1:
+                    continue
+                # u i.i.d. with mean EXACTLY pinned near 2^m: alternate
+                # mean-1/mean+1 with occasional exact-mean runs
+                u = np.full(n, mean, np.int64)
+                flip = rng.rand(n) < 0.5
+                u[flip] += 1
+                u[~flip] -= 1
+                u[u < 0] = 0
+                x = np.array([_inv_zigzag(int(v)) for v in u])
+                yield f"kdrift m={m} off={off} rep={rep}", _clip(x, 16), None, 44100, 16, 0
+        # geometric ramp up 2^1 -> 2^12 -> back down across one block:
+        # k walks the whole range, bias flipping at each crossover
+        env = np.concatenate([np.geomspace(2, 4096, n // 2),
+                              np.geomspace(4096, 2, n - n // 2)])
+        u = (env * (0.75 + 0.5 * rng.rand(n))).astype(np.int64)
+        x = np.array([_inv_zigzag(int(v)) for v in u])
+        yield f"kdrift-ramp rep={rep}", _clip(x, 16), None, 44100, 16, 0
+        # step square wave between k~1 and k~9 every 96 samples: the
+        # micro window (96 entries) exactly spans each plateau
+        steps = np.tile(np.repeat([4, 700], 96), n // 192 + 1)[:n]
+        u = (steps * (0.7 + 0.6 * rng.rand(n))).astype(np.int64)
+        x = np.array([_inv_zigzag(int(v)) for v in u])
+        yield f"kdrift-micro rep={rep}", _clip(x, 16), None, 44100, 16, 0
+
+
+def edges_sizes(scale, seed0):
+    """Final-block sizes at the partition-minimum (32) and metadata
+    boundaries, plus mid/side rounding at full-scale parity combos
+    ((l+r)>>1 floor semantics, lac/encoder.cpp:303-317)."""
+    for rep in range(scale):
+        rng = np.random.RandomState(seed0 + 16000 + rep)
+        tails = [1, 2, 3, 31, 32, 33, 63, 64, 65, 255, 256, 257,
+                 4095, 4096, 16383]
+        for tail in tails:
+            n = 16384 + tail
+            x = rng.laplace(0, 120, n)
+            yield f"size tail={tail} rep={rep}", _clip(x, 16), None, 44100, 16, 0
+        for tail in (1, 32, 257, 16383):  # stereo + 24-bit variants
+            n = 16384 + tail
+            l = rng.laplace(0, 300000, n)
+            r = l * 0.8 + rng.laplace(0, 9000, n)
+            yield (f"size24 tail={tail} rep={rep}", _clip(l, 24),
+                   _clip(r, 24), 192000, 24, 2)
+        # MS parity extremes: every sign/parity combo at the rails so
+        # mid's floor shift and side's 17/25-bit range are exercised
+        lim16, lim24 = 1 << 15, 1 << 23
+        combos = []
+        for a in (lim16 - 1, lim16 - 2, -lim16, -lim16 + 1, 1, 0, -1):
+            for b in (lim16 - 1, lim16 - 2, -lim16, -lim16 + 1, 0):
+                combos.append((a, b))
+        l = np.array([c[0] for c in combos] * 37, np.int32)
+        r = np.array([c[1] for c in combos] * 37, np.int32)
+        for mode in (1, 2):
+            yield f"ms-rails16 m={mode} rep={rep}", l, r, 44100, 16, mode
+        l24 = (l.astype(np.int64) * (lim24 // lim16)).astype(np.int32)
+        r24 = (r.astype(np.int64) * (lim24 // lim16)).astype(np.int32)
+        np.clip(l24, -lim24, lim24 - 1, out=l24)
+        np.clip(r24, -lim24, lim24 - 1, out=r24)
+        yield f"ms-rails24 rep={rep}", l24, r24, 96000, 24, 2
+        # one full block of rail pairs (partitioned side-channel paths)
+        idx = rng.randint(0, len(combos), 16384)
+        lf = np.array([combos[i][0] for i in idx], np.int32)
+        rf = np.array([combos[i][1] for i in idx], np.int32)
+        yield f"ms-rails-block rep={rep}", lf, rf, 44100, 16, 2
+
+
 def edge_cases(scale, seed0):
     for fam in (edges_zero_run, edges_escape, edges_stereo, edges_partition,
-                edges_static, edges_predictor_tie, edges_adapt_bias):
+                edges_static, edges_predictor_tie, edges_adapt_bias,
+                edges_ladder, edges_k_drift, edges_sizes):
         yield from fam(scale, seed0)
 
 
