@@ -121,6 +121,16 @@ def warm_process(blocks=128):
     from .encoder import FrameEncoder
     from .format import constants as C
 
+    dbg = os.environ.get("LAC_TPU_WARM_DEBUG") == "1"
+    t_last = [time.perf_counter()]
+
+    def _stage(name):
+        if dbg:
+            now = time.perf_counter()
+            sys.stderr.write(f"warm[{name}] {now - t_last[0]:.1f}s\n")
+            sys.stderr.flush()
+            t_last[0] = now
+
     # full blocks take the plane pipeline; the partial tail block walks
     # the legacy group path (probe + bucket executables, padded to the
     # power-of-two length bucket) — real files almost always have a
@@ -136,6 +146,7 @@ def warm_process(blocks=128):
     # routing (advisor round-3 finding)
     enc.suppress_cold_route = True
     nbytes = len(enc.encode(left, right))
+    _stage("encode")
 
     from .ops._backend import is_jax
 
@@ -162,6 +173,7 @@ def warm_process(blocks=128):
                 jax.device_put(np.zeros((5, bp, 13), np.int16)),
                 jax.device_put(np.zeros((5, bp), bool)),
             )["meta"])
+        _stage("plan-ladder")
         # partial-chunk upload-bucket pads (tiny concat executables; a
         # file whose full-block count is not a multiple of K hits one).
         # The step MUST come from the same env-derived grid the pipeline
@@ -178,6 +190,7 @@ def warm_process(blocks=128):
                 for b in (*range(step, K, step), K):
                     jax.block_until_ready(DP._jitted_unpack24(b, K)(
                         jax.device_put(np.zeros((3, b, DP.N), np.uint8))))
+        _stage("pads")
         # stereo-probe executables: the synthetic encode's strongly-
         # correlated content decides every block certainly, so the
         # uncertain-block probe gather + probe plan never load from it —
@@ -196,6 +209,7 @@ def warm_process(blocks=128):
                 jax.device_put(np.zeros((5, 12 * K, 13), np.int16)),
                 jax.device_put(np.zeros((5, 12 * K), bool)),
             )["meta"])
+        _stage("probes")
     return nbytes
 
 
