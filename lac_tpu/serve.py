@@ -165,7 +165,8 @@ def warm_process(blocks=128):
 
         emit_fields = not native_available()
         widths = (DP.CHUNK_BLOCKS,) if DP.CHUNK_BLOCKS else DP.CHUNK_LADDER
-        for bp in widths:
+
+        def _load_plan(bp):
             fn = E._jitted_plan(C.MAX_BLOCK_SIZE, enc.zero_run_enabled,
                                 enc.partitioning_enabled, emit_fields)
             jax.block_until_ready(fn(
@@ -173,29 +174,24 @@ def warm_process(blocks=128):
                 jax.device_put(np.zeros((5, bp, 13), np.int16)),
                 jax.device_put(np.zeros((5, bp), bool)),
             )["meta"])
-        _stage("plan-ladder")
+
         # partial-chunk upload-bucket pads (tiny concat executables; a
         # file whose full-block count is not a multiple of K hits one).
         # The step MUST come from the same env-derived grid the pipeline
         # uses (LAC_TPU_UPLOAD_BUCKET_DIV) or the warmed shapes miss.
-        for K in widths:
-            step = DP._bucket_step(K)
-            for b in range(step, K, step):
-                for dt in (np.int16, np.int32):
-                    jax.block_until_ready(DP._jitted_padrows(b, K, str(np.dtype(dt)))(
-                        jax.device_put(np.zeros((b, DP.N), dt))))
-            # 24-bit byte-plane uploads: fused pad+unpack executables
-            # (every bucket rung plus the full-chunk shape)
-            if DP._pack24_enabled("int32", None):
-                for b in (*range(step, K, step), K):
-                    jax.block_until_ready(DP._jitted_unpack24(b, K)(
-                        jax.device_put(np.zeros((3, b, DP.N), np.uint8))))
-        _stage("pads")
+        def _load_pad(b, K, dt):
+            jax.block_until_ready(DP._jitted_padrows(b, K, str(np.dtype(dt)))(
+                jax.device_put(np.zeros((b, DP.N), dt))))
+
+        def _load_unpack24(b, K):
+            jax.block_until_ready(DP._jitted_unpack24(b, K)(
+                jax.device_put(np.zeros((3, b, DP.N), np.uint8))))
+
         # stereo-probe executables: the synthetic encode's strongly-
         # correlated content decides every block certainly, so the
         # uncertain-block probe gather + probe plan never load from it —
         # a real file's first uncertain block would pay them here
-        for K in widths:
+        def _load_probe_chain(K):
             out = DP._jitted_analyze(K, "auto", "int16", None)(
                 jax.device_put(np.zeros((K, DP.N), np.int16)),
                 jax.device_put(np.zeros((K, DP.N), np.int16)),
@@ -209,7 +205,35 @@ def warm_process(blocks=128):
                 jax.device_put(np.zeros((5, 12 * K, 13), np.int16)),
                 jax.device_put(np.zeros((5, 12 * K), bool)),
             )["meta"])
-        _stage("probes")
+
+        thunks = [(lambda bp=bp: _load_plan(bp)) for bp in widths]
+        thunks += [(lambda K=K: _load_probe_chain(K)) for K in widths]
+        for K in widths:
+            step = DP._bucket_step(K)
+            for b in range(step, K, step):
+                for dt in (np.int16, np.int32):
+                    thunks.append(lambda b=b, K=K, dt=dt: _load_pad(b, K, dt))
+            if DP._pack24_enabled("int32", None):
+                for b in (*range(step, K, step), K):
+                    thunks.append(lambda b=b, K=K: _load_unpack24(b, K))
+
+        # each thunk is one independent cached-executable load whose
+        # wall time is dominated by tunnel round trips, not host work —
+        # overlap them (measured 2026-08-19: 260s serial post-encode
+        # grid vs the thread-pool grid; LAC_TPU_WARM_THREADS=1 restores
+        # strictly serial loads)
+        try:
+            warm_threads = max(1, int(os.environ.get("LAC_TPU_WARM_THREADS", "4")))
+        except ValueError:
+            warm_threads = 4
+        if warm_threads == 1:
+            for t in thunks:
+                t()
+        else:
+            with ThreadPoolExecutor(max_workers=warm_threads) as tp:
+                for f in [tp.submit(t) for t in thunks]:
+                    f.result()  # propagate the first load failure
+        _stage(f"exec-grid x{warm_threads}")
     return nbytes
 
 
