@@ -259,7 +259,13 @@ def _pack24_enabled(dtype_str, mesh):
 
 def _pack24_host(m):
     """int32 (rows, N) in 24-bit range -> (3, rows, N) uint8 byte-planes
-    (little-endian low/mid/high; the sign lives in byte 2's MSB)."""
+    (little-endian low/mid/high; the sign lives in byte 2's MSB).
+
+    Precondition: every value fits signed 24 bits. Both product routes
+    guarantee it before any plane reaches here — WAV reads sign-extend
+    into the declared depth (io/wav.py), and direct library input is
+    range-rejected at the encode boundary for all backends alike
+    (encoder._validate; pool.encode_pooled validates before pooling)."""
     b = np.ascontiguousarray(m, dtype="<i4").view(np.uint8).reshape(*m.shape, 4)
     out = np.empty((3,) + m.shape, np.uint8)
     out[0], out[1], out[2] = b[..., 0], b[..., 1], b[..., 2]

@@ -13,6 +13,7 @@ This replaces the reference's worker thread pool
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,26 @@ def make_mesh(devices=None):
     import numpy as np
 
     return Mesh(np.asarray(devices), (BLOCK_AXIS,))
+
+
+_DEFAULT_MESH_CACHE = []
+
+
+def default_mesh():
+    """The product-default mesh (CLI / serve / pooled serving): all local
+    devices whenever more than one is present, mirroring the reference's
+    use-everything worker pool (lac/encoder.cpp:385-435 — workers =
+    min(hw, limit, blocks), with no opt-in flag). ``LAC_TPU_MESH=0``
+    switches meshing off; ``LAC_TPU_MESH=1`` (the historical opt-in
+    spelling) behaves the same as unset. Returns ``None`` when meshing
+    is off or only one device exists. Sharding never changes bytes —
+    the off switch exists for debugging, not correctness."""
+    if os.environ.get("LAC_TPU_MESH", "1") == "0":
+        return None
+    if not _DEFAULT_MESH_CACHE:
+        devs = jax.devices()
+        _DEFAULT_MESH_CACHE.append(make_mesh(devs) if len(devs) > 1 else None)
+    return _DEFAULT_MESH_CACHE[0]
 
 
 try:  # jax >= 0.8 top-level API; experimental path removed later

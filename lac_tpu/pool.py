@@ -260,6 +260,13 @@ def encode_pooled(items, sample_rate, bit_depth, stereo_mode=2, xp=None,
         )
         for key, val in encoder_opts.items():
             getattr(enc, f"set_{key}")(val)
+        # validate BEFORE any pooled device work: per-item encode()
+        # rejects out-of-range PCM (reference lac/encoder.cpp:220-241),
+        # and the pack24 upload truncates int32 planes to 24 bits — an
+        # out-of-range 24-bit item must raise here, for every backend
+        # identically, never reach the wave (advisor round-4 finding)
+        if len(left):
+            enc._validate(left, right)
         encs.append(enc)
 
     poolable = is_jax(xp) and native_available()

@@ -310,13 +310,18 @@ class _PoolBatcher:
                 if not self.pending and self.closed:
                     return
                 batch, self.pending = self.pending, []
+            routed = set()  # batch indices _process dispatched or requeued
             try:
-                self._process(batch, P)
+                self._process(batch, P, routed)
             except Exception:  # noqa: BLE001 — keep the batcher alive
-                # defensive: _process already routes per-job failures;
-                # anything reaching here gets the per-job fallback
-                for job_id, parts, _t0 in batch:
-                    self.pool.submit(self._fallback, job_id, parts)
+                # defensive: _process already routes per-job failures and
+                # records every entry it dispatched (to _finish/_fallback)
+                # or requeued in `routed` — falling those back again would
+                # run them twice and drive `busy` negative (advisor
+                # round-4 finding). Only the unrouted remainder falls back.
+                for bi, (job_id, parts, _t0) in enumerate(batch):
+                    if bi not in routed:
+                        self.pool.submit(self._fallback, job_id, parts)
 
     def _fallback(self, job_id, parts):
         try:
@@ -350,7 +355,7 @@ class _PoolBatcher:
             # future resolves)
             self._done_one()
 
-    def _process(self, batch, P):
+    def _process(self, batch, P, routed):
         groups = {}
         pooled_blocks = 0
         for bi, (job_id, parts, t0) in enumerate(batch):
@@ -361,6 +366,7 @@ class _PoolBatcher:
                 # their busy/fenced) for the next loop pass
                 with self.cv:
                     self.pending[:0] = batch[bi:]
+                routed.update(range(bi, len(batch)))
                 break
             prep = None
             try:
@@ -369,26 +375,33 @@ class _PoolBatcher:
                 prep = None
             if prep is None:
                 self.pool.submit(self._fallback, job_id, parts)
+                routed.add(bi)
             else:
-                groups.setdefault(prep.key, []).append((job_id, parts, t0, prep))
+                groups.setdefault(prep.key, []).append((bi, job_id, parts, t0, prep))
                 pooled_blocks += prep.nfull
         for jobs in groups.values():
-            for wave in P.split_waves(jobs, nfull_of=lambda rec: rec[3].nfull):
+            for wave in P.split_waves(jobs, nfull_of=lambda rec: rec[4].nfull):
                 released = set()
 
-                def done(i, planes, wave=wave, released=released):
-                    job_id, parts, t0, prep = wave[i]
-                    released.add(i)
+                def done(i, planes, wave=wave, released=released, routed=routed):
+                    bi, job_id, parts, t0, prep = wave[i]
+                    # submit BEFORE marking released/routed: a failed
+                    # submit (executor shutting down) must leave the job
+                    # eligible for the unreleased-fallback path below, or
+                    # it would never be responded to (advisor round-4)
                     self.pool.submit(self._finish, job_id, parts, prep, planes, t0)
+                    released.add(i)
+                    routed.add(bi)
 
                 try:
-                    P.run_group_wave([rec[3] for rec in wave], done)
+                    P.run_group_wave([rec[4] for rec in wave], done)
                 except Exception:  # noqa: BLE001 — wave failed mid-flight
                     # unreleased files take the ordinary per-job path
                     # (fresh read + per-file pipeline; same bytes)
-                    for i, (job_id, parts, _t0, _p) in enumerate(wave):
+                    for i, (bi, job_id, parts, _t0, _p) in enumerate(wave):
                         if i not in released:
                             self.pool.submit(self._fallback, job_id, parts)
+                            routed.add(bi)
 
 
 def serve(argv=None, stdin=None, stdout=None):
@@ -433,12 +446,20 @@ def serve(argv=None, stdin=None, stdout=None):
     # so raw-fd writers can never corrupt a response line.
     fd_saved = None
     if stdout is None:
+        real_out = None
         try:
             fd_saved = os.dup(1)
             real_out = os.fdopen(fd_saved, "w")
             sys.stdout.flush()
             os.dup2(sys.stderr.fileno(), 1)
         except (OSError, ValueError, io.UnsupportedOperation):
+            # don't leak the dup'd descriptor when a later step fails
+            # (e.g. sys.stderr has no real fileno): close whichever
+            # handle owns it before falling back (advisor round-4)
+            if real_out is not None:
+                real_out.close()  # owns and closes fd_saved
+            elif fd_saved is not None:
+                os.close(fd_saved)
             fd_saved = None
             real_out = sys.stdout
     else:
