@@ -38,6 +38,16 @@ def configure_jax():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # honor JAX_PLATFORMS even under out-of-tree PJRT plugins that
+    # register unconditionally (the sandbox's TPU plugin ignores the
+    # env var alone): a subprocess launched with JAX_PLATFORMS=cpu must
+    # never initialize an accelerator tunnel behind the caller's back
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:  # pragma: no cover - backend already locked in
+            pass
     if os.environ.get("LAC_TPU_NO_CACHE") != "1":
         cache_dir = os.environ.get(
             "LAC_TPU_CACHE_DIR", os.path.expanduser("~/.cache/lac_tpu/xla")

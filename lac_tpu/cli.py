@@ -218,15 +218,23 @@ def _cmd_encode(argv) -> int:
     encoder.set_debug_partitions(debug_partitions)
     if inject is not None:
         encoder._injected_planes = inject[2]
-    if os.environ.get("LAC_TPU_MESH") == "1":
-        # shard plan batches over all local devices (multi-chip serving);
-        # bytes are identical to the single-device path by construction
-        import jax
+    from .encoder import _cold_route
+    from .ops._backend import is_jax
 
-        from .parallel import make_mesh
+    n_in = stream_info.frames if stream_info is not None else len(left)
+    if is_jax(xp) and not _cold_route(-(-n_in // C.MAX_BLOCK_SIZE)):
+        # product default: shard plan batches over ALL local devices,
+        # like the reference saturates every core without an opt-in
+        # flag (lac/encoder.cpp:385-435). Bytes are identical to the
+        # single-device path by construction; LAC_TPU_MESH=0 opts out.
+        # Skipped when the cold route will take the native host planner
+        # — counting devices would initialize the accelerator backend,
+        # exactly the latency the cold route exists to avoid.
+        from .parallel.mesh import default_mesh
 
-        if len(jax.devices()) > 1:
-            encoder.set_mesh(make_mesh())
+        mesh = default_mesh()
+        if mesh is not None:
+            encoder.set_mesh(mesh)
     if debug_threads:
         from .runtime.native import thread_collector_reset
 

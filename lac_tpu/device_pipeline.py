@@ -722,6 +722,12 @@ class PlanePipeline:
         # (compiles are minutes on the axon remote-compile service, so
         # shape diversity is the enemy; short files pad up)
         self.K = chunk_width(nfull)
+        if self.mesh is not None and self.K % self.nd != 0:
+            # the chunk's block axis must split evenly over the shards;
+            # pooled waves reach here without the applicable() check, so
+            # an odd mesh quietly takes the single-device pipeline
+            # (bytes are sharding-invariant either way)
+            self.mesh, self.nd = None, 1
         if views is not None:
             # cross-file pooled serving (lac_tpu.pool): the caller hands
             # prebuilt (nfull, N) plane matrices whose block rows may be

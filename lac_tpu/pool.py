@@ -93,8 +93,6 @@ def prepare_encode_job(parts):
         return None
     if not is_jax(cli._encoder_xp()) or not native_available():
         return None  # pooling is a device-path optimization only
-    if os.environ.get("LAC_TPU_MESH") == "1":
-        return None  # mesh encodes keep the per-file sharded path
     try:
         stream_threshold = int(os.environ.get("LAC_TPU_STREAM_BLOCKS", "2048"))
     except ValueError:
@@ -182,6 +180,7 @@ def run_group_wave(group, file_done, template_enc=None):
 
         from .cli import _resolve_threads
         from .encoder import FrameEncoder
+        from .parallel.mesh import default_mesh
 
         g0 = group[0]
         template_enc = FrameEncoder(
@@ -189,6 +188,12 @@ def run_group_wave(group, file_done, template_enc=None):
         )
         template_enc.set_partitioning_enabled(bool(g0.opts["partitioning"]))
         template_enc.set_thread_count(_resolve_threads(g0.opts["thread_count"]))
+        # pooled waves shard over the product-default mesh exactly like
+        # one-shot CLI encodes (the reference's pool uses every core no
+        # matter where blocks came from; bytes are sharding-invariant)
+        mesh = default_mesh()
+        if mesh is not None:
+            template_enc.set_mesh(mesh)
 
     state = {"next": 0}
 
@@ -274,7 +279,7 @@ def encode_pooled(items, sample_rate, bit_depth, stereo_mode=2, xp=None,
     if poolable:
         mode_kind = {C.STEREO_LR: "lr", C.STEREO_MS: "ms", C.STEREO_PER_BLOCK: "auto"}
         for i, (left, right) in enumerate(items):
-            if len(left) == 0 or encs[i].mesh is not None:
+            if len(left) == 0:
                 continue
             nblocks = -(-len(left) // C.MAX_BLOCK_SIZE)
             nfull = nblocks - (1 if len(left) % C.MAX_BLOCK_SIZE else 0)
@@ -287,9 +292,12 @@ def encode_pooled(items, sample_rate, bit_depth, stereo_mode=2, xp=None,
                 dt=np.int16 if bit_depth == 16 else np.int32,
             )
             prep.key = (kind,)
-            groups.setdefault(kind, []).append((i, prep))
+            # mesh encoders pool with each other (the wave shards over
+            # the template's mesh); mixing meshed and unmeshed items in
+            # one wave would silently change the latter's device layout
+            groups.setdefault((kind, id(encs[i].mesh)), []).append((i, prep))
 
-    for kind, pairs in groups.items():
+    for (kind, _mid), pairs in groups.items():
         for wave in split_waves(pairs, nfull_of=lambda ip: ip[1].nfull):
             idxs = [i for i, _ in wave]
 

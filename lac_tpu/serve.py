@@ -141,6 +141,15 @@ def warm_process(blocks=128):
     left = rng.randint(-(1 << 14), 1 << 14, n).astype(np.int32)
     right = (left // 2 + rng.randint(-(1 << 8), 1 << 8, n)).astype(np.int32)
     enc = FrameEncoder(12, C.STEREO_PER_BLOCK, 44100, 16, xp=_encoder_xp())
+    from .ops._backend import is_jax as _is_jax
+
+    if _is_jax(enc.xp):
+        # warm the SAME route real jobs take: the product-default mesh
+        from .parallel.mesh import default_mesh
+
+        mesh = default_mesh()
+        if mesh is not None:
+            enc.set_mesh(mesh)
     # instance flag, NOT env mutation: concurrent warm jobs used to race
     # the LAC_TPU_COLD_BLOCKS save/restore and perturb other jobs'
     # routing (advisor round-3 finding)
@@ -165,8 +174,37 @@ def warm_process(blocks=128):
 
         emit_fields = not native_available()
         widths = (DP.CHUNK_BLOCKS,) if DP.CHUNK_BLOCKS else DP.CHUNK_LADDER
+        mesh = enc.mesh
+        nd = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+        widths = tuple(w for w in widths if w % nd == 0)
+
+        def _put_sharded(a):
+            # lane axis is axis 1 for the (5, bp, 13)/(5, bp) LPC inputs
+            from jax.sharding import NamedSharding, PartitionSpec as SP
+
+            from .parallel.mesh import BLOCK_AXIS
+
+            spec = SP(None, BLOCK_AXIS) if a.ndim == 2 else SP(None, BLOCK_AXIS, None)
+            return jax.device_put(a, NamedSharding(mesh, spec))
 
         def _load_plan(bp):
+            if mesh is not None:
+                from .parallel.mesh import _sharded_plan_fn
+
+                fn = _sharded_plan_fn(mesh, C.MAX_BLOCK_SIZE, enc.zero_run_enabled,
+                                      enc.partitioning_enabled, False)
+                from jax.sharding import NamedSharding, PartitionSpec as SP
+
+                from .parallel.mesh import BLOCK_AXIS
+
+                with mesh:
+                    jax.block_until_ready(fn(
+                        jax.device_put(np.zeros((bp, C.MAX_BLOCK_SIZE), np.int32),
+                                       NamedSharding(mesh, SP(BLOCK_AXIS, None))),
+                        _put_sharded(np.zeros((5, bp, 13), np.int16)),
+                        _put_sharded(np.zeros((5, bp), bool)),
+                    )["meta"])
+                return
             fn = E._jitted_plan(C.MAX_BLOCK_SIZE, enc.zero_run_enabled,
                                 enc.partitioning_enabled, emit_fields)
             jax.block_until_ready(fn(
@@ -192,6 +230,24 @@ def warm_process(blocks=128):
         # uncertain-block probe gather + probe plan never load from it —
         # a real file's first uncertain block would pay them here
         def _load_probe_chain(K):
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as SP
+
+                from .parallel.mesh import BLOCK_AXIS, _sharded_plan_fn
+
+                sh = NamedSharding(mesh, SP(BLOCK_AXIS, None))
+                with mesh:
+                    z = jax.device_put(np.zeros((K, DP.N), np.int16), sh)
+                    out = DP._jitted_analyze(K, "auto", "int16", mesh)(z, z)
+                    fnp = _sharded_plan_fn(mesh, C.STEREO_PROBE_SIZE,
+                                           enc.zero_run_enabled,
+                                           enc.partitioning_enabled, False)
+                    jax.block_until_ready(fnp(
+                        out["probes"],
+                        _put_sharded(np.zeros((5, 12 * K, 13), np.int16)),
+                        _put_sharded(np.zeros((5, 12 * K), bool)),
+                    )["meta"])
+                return
             out = DP._jitted_analyze(K, "auto", "int16", None)(
                 jax.device_put(np.zeros((K, DP.N), np.int16)),
                 jax.device_put(np.zeros((K, DP.N), np.int16)),
@@ -208,14 +264,15 @@ def warm_process(blocks=128):
 
         thunks = [(lambda bp=bp: _load_plan(bp)) for bp in widths]
         thunks += [(lambda K=K: _load_probe_chain(K)) for K in widths]
-        for K in widths:
-            step = DP._bucket_step(K)
-            for b in range(step, K, step):
-                for dt in (np.int16, np.int32):
-                    thunks.append(lambda b=b, K=K, dt=dt: _load_pad(b, K, dt))
-            if DP._pack24_enabled("int32", None):
-                for b in (*range(step, K, step), K):
-                    thunks.append(lambda b=b, K=K: _load_unpack24(b, K))
+        if mesh is None:  # mesh chunks keep full-K host pads, no pack24
+            for K in widths:
+                step = DP._bucket_step(K)
+                for b in range(step, K, step):
+                    for dt in (np.int16, np.int32):
+                        thunks.append(lambda b=b, K=K, dt=dt: _load_pad(b, K, dt))
+                if DP._pack24_enabled("int32", None):
+                    for b in (*range(step, K, step), K):
+                        thunks.append(lambda b=b, K=K: _load_unpack24(b, K))
 
         # each thunk is one independent cached-executable load whose
         # wall time is dominated by tunnel round trips, not host work —
@@ -254,10 +311,11 @@ class _PoolBatcher:
     compatible ones' full blocks into shared K-wide device chunks, and
     releases each file to a worker-pool finish task (tail block, frame
     assembly, staged write — the ordinary CLI path with the WAV and the
-    plane results injected) as soon as its chunks have emitted. Jobs
-    that can't pool (debug flags, streaming route, numpy backend, bad
-    args, mesh mode) fall back to the ordinary per-job handler, which
-    reproduces every message and exit code exactly.
+    plane results injected) as soon as its chunks have emitted. Pooled
+    waves shard over the product-default device mesh just like one-shot
+    CLI encodes. Jobs that can't pool (debug flags, streaming route,
+    numpy backend, bad args) fall back to the ordinary per-job handler,
+    which reproduces every message and exit code exactly.
     """
 
     def __init__(self, pool, handle, respond):

@@ -115,3 +115,91 @@ def test_plane_pipeline_engages_under_mesh():
     mesh3 = make_mesh(jax.devices()[:3])
     enc3 = FrameEncoder(12, 2, 44100, 16, xp=jnp, mesh=mesh3)
     assert not DP.applicable(enc3, 100)
+
+
+@needs_devices
+def test_default_mesh_gate(monkeypatch):
+    """The product default is mesh-on for >1 device; LAC_TPU_MESH=0 is
+    the off switch and =1 (the historical opt-in) behaves like unset."""
+    from lac_tpu.parallel import mesh as M
+
+    monkeypatch.delenv("LAC_TPU_MESH", raising=False)
+    assert M.default_mesh() is not None
+    monkeypatch.setenv("LAC_TPU_MESH", "0")
+    assert M.default_mesh() is None
+    monkeypatch.setenv("LAC_TPU_MESH", "1")
+    assert M.default_mesh() is not None
+
+
+@needs_devices
+def test_encode_pooled_shards_over_mesh():
+    """Pooled waves with meshed encoders shard (PlanePipeline.mesh set)
+    and stay byte-identical to per-item single-device encodes."""
+    import jax.numpy as jnp
+
+    from lac_tpu import device_pipeline as DP
+    from lac_tpu.encoder import FrameEncoder
+    from lac_tpu.parallel import make_mesh
+    from lac_tpu.pool import encode_pooled
+
+    rng = np.random.RandomState(5)
+    items = []
+    for i in range(3):
+        n = 16384 * (8 + i) + 321 * i
+        t = np.arange(n, dtype=np.float64)
+        sig = np.sin(2 * np.pi * (320 + 30 * i) * t / 44100) * 15000
+        l = np.clip(sig + rng.standard_normal(n) * 350, -32768, 32767).astype(np.int32)
+        r = np.clip(np.roll(sig, 7) * 0.8, -32768, 32767).astype(np.int32)
+        items.append((l, r))
+
+    mesh = make_mesh(jax.devices()[:8])
+    seen = []
+    orig_init = DP.PlanePipeline.__init__
+
+    def spy(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        seen.append(self.mesh)
+
+    DP.PlanePipeline.__init__ = spy
+    try:
+        pooled = encode_pooled(items, 44100, 16, stereo_mode=2, xp=jnp, mesh=mesh)
+    finally:
+        DP.PlanePipeline.__init__ = orig_init
+    assert seen and all(m is mesh for m in seen), "wave did not shard over the mesh"
+    for i, ((l, r), got) in enumerate(zip(items, pooled)):
+        assert got == FrameEncoder(12, 2, 44100, 16, xp=jnp).encode(l, r), f"item {i}"
+
+
+@needs_devices
+def test_cli_default_meshes(tmp_path, monkeypatch):
+    """One-shot CLI encodes shard over the default mesh with identical
+    bytes to LAC_TPU_MESH=0 (the sharding-off escape hatch)."""
+    from lac_tpu import cli
+    from lac_tpu.io.wav import write_wav
+
+    rng = np.random.RandomState(11)
+    n = 16384 * 9 + 123
+    t = np.arange(n, dtype=np.float64)
+    sig = np.sin(2 * np.pi * 500 * t / 44100) * 12000
+    l = np.clip(sig + rng.standard_normal(n) * 300, -32768, 32767).astype(np.int32)
+    r = np.clip(np.roll(sig, 13) * 0.7, -32768, 32767).astype(np.int32)
+    wav = tmp_path / "m.wav"
+    write_wav(str(wav), l, r, 2, 44100, 16)
+
+    from lac_tpu.encoder import FrameEncoder
+
+    meshes = []
+    orig = FrameEncoder.set_mesh
+
+    def spy(self, mesh):
+        meshes.append(mesh)
+        orig(self, mesh)
+
+    monkeypatch.setattr(FrameEncoder, "set_mesh", spy)
+    monkeypatch.setenv("LAC_TPU_BACKEND", "jax")  # CPU-JAX defaults to numpy
+    monkeypatch.delenv("LAC_TPU_MESH", raising=False)
+    assert cli.main(["encode", str(wav), str(tmp_path / "on.lac")]) == 0
+    assert meshes and meshes[-1] is not None, "CLI default did not mesh"
+    monkeypatch.setenv("LAC_TPU_MESH", "0")
+    assert cli.main(["encode", str(wav), str(tmp_path / "off.lac")]) == 0
+    assert (tmp_path / "on.lac").read_bytes() == (tmp_path / "off.lac").read_bytes()
