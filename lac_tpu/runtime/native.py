@@ -145,6 +145,11 @@ def get_native():
         lib.lac_thread_collector_reset.argtypes = []
         lib.lac_thread_collector_count.restype = ctypes.c_uint64
         lib.lac_thread_collector_count.argtypes = []
+        lib.lac_tokenize_static_rice.restype = ctypes.c_int
+        lib.lac_tokenize_static_rice.argtypes = [
+            u8p, ctypes.c_uint64, u32p, u64p,
+            ctypes.c_uint32, ctypes.c_uint32, i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -513,3 +518,26 @@ def decode_v2_stream_native(payload, block_sizes, sample_offsets, channels,
     if status != 0:
         raise ValueError(f"block={-status - 1}")
     return left, right
+
+
+def tokenize_static_rice_native(payloads, ks, nbits, count):
+    """Parse ``count`` static-k Rice tokens per lane with the product
+    reader (benchmark twin for ops/device_reader.py). ``payloads``:
+    (L, NBY) uint8; returns (L, count) int32 residuals, or None when
+    the native library is unavailable. Raises ValueError on a short or
+    malformed lane."""
+    lib = get_native()
+    if lib is None:
+        return None
+    pay = np.ascontiguousarray(payloads, dtype=np.uint8)
+    ks = np.ascontiguousarray(ks, dtype=np.uint32)
+    nb = np.ascontiguousarray(nbits, dtype=np.uint64)
+    L = pay.shape[0]
+    out = np.empty((L, int(count)), dtype=np.int32)
+    status = lib.lac_tokenize_static_rice(
+        _ptr(pay, ctypes.c_uint8), pay.shape[1], _ptr(ks, ctypes.c_uint32),
+        _ptr(nb, ctypes.c_uint64), L, int(count), _ptr(out, ctypes.c_int32),
+    )
+    if status != 0:
+        raise ValueError(f"lane={-status - 1}")
+    return out

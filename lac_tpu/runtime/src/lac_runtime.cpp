@@ -2417,4 +2417,26 @@ void lac_pack_streams(const uint32_t* unary,
   for (auto& t : pool) t.join();
 }
 
+// benchmark twin for the device bit-reader prototype
+// (ops/device_reader.py): parse `count` static-k Rice tokens per lane
+// from raw payload bytes with the product reader. Returns 0, or
+// -(lane+1) on a read error.
+int lac_tokenize_static_rice(const uint8_t* payloads, uint64_t lane_stride,
+                             const uint32_t* ks, const uint64_t* nbits,
+                             uint32_t lanes, uint32_t count, int32_t* out) {
+  for (uint32_t li = 0; li < lanes; ++li) {
+    Reader r;
+    reader_init(r, payloads + li * lane_stride, lane_stride);
+    r.size_bits = nbits[li];
+    const uint32_t k = ks[li];
+    int32_t* dst = out + static_cast<uint64_t>(li) * count;
+    for (uint32_t t = 0; t < count; ++t) {
+      uint32_t u = 0;
+      if (!read_rice_u(r, k, u)) return -static_cast<int>(li + 1);
+      dst[t] = zigzag_decode(u);
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
