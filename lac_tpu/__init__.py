@@ -23,7 +23,7 @@ CLI decoder, WAV tools — never pay backend initialization.
 
 import os
 
-__version__ = "0.1.1"
+__version__ = "0.2.0"
 
 _JAX_CONFIGURED = False
 
