@@ -257,6 +257,129 @@ def _pack24_enabled(dtype_str, mesh):
         return False
 
 
+def _delta_enabled(dtype_str, mesh):
+    """16-bit planes can usually ship as delta-bitpacked bytes: audio
+    deltas are small, so wrapped int16 first differences packed to 8 or
+    12 bits cut the bottleneck host->device link traffic 25-50%. The
+    device inverts exactly (sign-extend, int32 cumsum, wrap to int16 —
+    modular arithmetic makes wrapped deltas lossless for ANY int16
+    content). Transport-only: bytes on the wire never change.
+
+    Default mirrors pack24: accelerator backends only (on CPU-JAX there
+    is no transfer to save). LAC_TPU_UPLOAD_DELTA=1/0 forces."""
+    if dtype_str != "int16" or mesh is not None:
+        return False
+    forced = os.environ.get("LAC_TPU_UPLOAD_DELTA")
+    if forced is not None:
+        return forced != "0"
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - no jax backend at all
+        return False
+
+
+def _pack_delta_host(m):
+    """int16 (rows, N) -> (b, packed uint8 (rows, 2 + N*b/8)) or
+    (None, None) when the wrapped deltas need more than 14 bits.
+
+    Row layout: 2 bytes x0 (LE, the absolute first sample — it needs 16
+    bits and would otherwise force the field width), then N b-bit
+    two's-complement fields of the WRAPPED int16 delta stream (field 0
+    is always 0). Field bytes are written straight into the output
+    through strided views — one pass, no assemble-then-copy (this host
+    copies at ~200 MB/s, so a second body pass is real money)."""
+    rows, n = m.shape
+    d = np.empty_like(m)
+    np.subtract(m[:, 1:], m[:, :-1], out=d[:, 1:])  # int16 wraparound
+    d[:, 0] = 0
+    lo, hi = int(d.min()), int(d.max())
+    if -128 <= lo and hi < 128:
+        b = 8
+    elif -2048 <= lo and hi < 2048:
+        b = 12
+    elif -8192 <= lo and hi < 8192:
+        b = 14  # music-scale deltas land here (bench content: +-4.4k/6.4k)
+    else:
+        return None, None
+    out = np.empty((rows, 2 + n * b // 8), np.uint8)
+    u0 = m[:, 0].astype(np.uint16)
+    out[:, 0] = u0 & np.uint16(0xFF)
+    out[:, 1] = u0 >> np.uint16(8)
+    u = d.view(np.uint16)
+    strided = np.lib.stride_tricks.as_strided
+    if b == 8:
+        out[:, 2:] = u  # uint16 -> uint8 assignment keeps the low byte
+    elif b == 12:
+        v0 = u[:, 0::2] & np.uint16(0xFFF)
+        v1 = u[:, 1::2] & np.uint16(0xFFF)
+        t = strided(out[:, 2:], shape=(rows, n // 2, 3),
+                    strides=(out.strides[0], 3, 1))
+        t[..., 0] = v0 & np.uint16(0xFF)
+        t[..., 1] = (v0 >> np.uint16(8)) | ((v1 & np.uint16(0xF)) << np.uint16(4))
+        t[..., 2] = v1 >> np.uint16(4)
+    else:  # b == 14
+        q = (u & np.uint16(0x3FFF)).reshape(rows, n // 4, 4)
+        v0, v1, v2, v3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+        t = strided(out[:, 2:], shape=(rows, n // 4, 7),
+                    strides=(out.strides[0], 7, 1))
+        t[..., 0] = v0 & np.uint16(0xFF)
+        t[..., 1] = (v0 >> np.uint16(8)) | ((v1 & np.uint16(0x3)) << np.uint16(6))
+        t[..., 2] = (v1 >> np.uint16(2)) & np.uint16(0xFF)
+        t[..., 3] = (v1 >> np.uint16(10)) | ((v2 & np.uint16(0xF)) << np.uint16(4))
+        t[..., 4] = (v2 >> np.uint16(4)) & np.uint16(0xFF)
+        t[..., 5] = (v2 >> np.uint16(12)) | ((v3 & np.uint16(0x3F)) << np.uint16(2))
+        t[..., 6] = v3 >> np.uint16(6)
+    return b, out
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_unpack_delta(b, bucket, K):
+    """(bucket, 2 + N*b/8) uint8 delta rows -> zero-extended (K, N)
+    int16 planes: the exact device inverse of ``_pack_delta_host``
+    fused with the partial-chunk row pad. Modular reconstruction:
+    int32 cumsum of sign-extended fields, + x0, wrap to int16."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import configure_jax
+
+    configure_jax()
+
+    def unpack(p):
+        x0 = p[:, 0].astype(jnp.int32) | (p[:, 1].astype(jnp.int32) << jnp.int32(8))
+        x0 = (x0 ^ jnp.int32(0x8000)) - jnp.int32(0x8000)
+        body = p[:, 2:]
+        if b == 8:
+            d = body.astype(jnp.int32)
+            d = (d ^ jnp.int32(0x80)) - jnp.int32(0x80)
+        elif b == 12:
+            t = body.reshape(bucket, N // 2, 3).astype(jnp.int32)
+            v0 = t[..., 0] | ((t[..., 1] & jnp.int32(0xF)) << jnp.int32(8))
+            v1 = (t[..., 1] >> jnp.int32(4)) | (t[..., 2] << jnp.int32(4))
+            d = jnp.stack([v0, v1], axis=-1).reshape(bucket, N)
+            d = (d ^ jnp.int32(0x800)) - jnp.int32(0x800)
+        else:  # b == 14
+            t = body.reshape(bucket, N // 4, 7).astype(jnp.int32)
+            v0 = t[..., 0] | ((t[..., 1] & jnp.int32(0x3F)) << jnp.int32(8))
+            v1 = ((t[..., 1] >> jnp.int32(6)) | (t[..., 2] << jnp.int32(2))
+                  | ((t[..., 3] & jnp.int32(0xF)) << jnp.int32(10)))
+            v2 = ((t[..., 3] >> jnp.int32(4)) | (t[..., 4] << jnp.int32(4))
+                  | ((t[..., 5] & jnp.int32(0x3)) << jnp.int32(12)))
+            v3 = (t[..., 5] >> jnp.int32(2)) | (t[..., 6] << jnp.int32(6))
+            d = jnp.stack([v0, v1, v2, v3], axis=-1).reshape(bucket, N)
+            d = (d ^ jnp.int32(0x2000)) - jnp.int32(0x2000)
+        vals = jnp.cumsum(d, axis=1) + x0[:, None]
+        vals = (vals << jnp.int32(16)) >> jnp.int32(16)  # int16 wrap
+        out = vals.astype(jnp.int16)
+        if bucket < K:
+            out = jnp.concatenate([out, jnp.zeros((K - bucket, N), jnp.int16)], axis=0)
+        return out
+
+    return jax.jit(unpack)
+
+
 def _pack24_host(m):
     """int32 (rows, N) in 24-bit range -> (3, rows, N) uint8 byte-planes
     (little-endian low/mid/high; the sign lives in byte 2's MSB).
@@ -360,6 +483,7 @@ class _ChunkJob:
             else:
                 put = jax.device_put
             pack24 = _pack24_enabled(str(pipe.lview.dtype), pipe.mesh)
+            delta_ok = _delta_enabled(str(pipe.lview.dtype), pipe.mesh)
             if self.kc < K:  # pad the final partial chunk to the K shape
                 bucket = _upload_bucket(self.kc, K, pipe.mesh)
                 padfn = (
@@ -377,7 +501,17 @@ class _ChunkJob:
                     # When kc lands exactly on the grid, skip the host
                     # zeros+copy too (this host copies at ~200 MB/s).
                     # 24-bit planes additionally ship as 3 u8 byte-
-                    # planes (-25% bytes); pad+unpack fuse on device.
+                    # planes (-25% bytes); 16-bit planes as wrapped-
+                    # delta 8/12-bit fields (-25..50%); pad+unpack fuse
+                    # on device.
+                    if delta_ok:
+                        db, ph = _pack_delta_host(m)
+                        if db is not None:
+                            if bucket > self.kc:
+                                z = np.zeros((bucket, ph.shape[1]), np.uint8)
+                                z[: self.kc] = ph
+                                ph = z
+                            return _jitted_unpack_delta(db, bucket, K)(put(ph))
                     if pack24:
                         if bucket == self.kc:
                             ph = _pack24_host(m)
@@ -395,13 +529,19 @@ class _ChunkJob:
 
                 lmat_d = pad_put(lmat)
                 rmat_d = pad_put(rmat) if rmat is not None else lmat_d
-            elif pack24:
-                unpack = _jitted_unpack24(K, K)
-                lmat_d = unpack(put(_pack24_host(lmat)))
-                rmat_d = unpack(put(_pack24_host(rmat))) if rmat is not None else lmat_d
             else:
-                lmat_d = put(lmat)
-                rmat_d = put(rmat) if rmat is not None else lmat_d
+
+                def full_ship(m):
+                    if delta_ok:
+                        db, ph = _pack_delta_host(m)
+                        if db is not None:
+                            return _jitted_unpack_delta(db, K, K)(put(ph))
+                    if pack24:
+                        return _jitted_unpack24(K, K)(put(_pack24_host(m)))
+                    return put(m)
+
+                lmat_d = full_ship(lmat)
+                rmat_d = full_ship(rmat) if rmat is not None else lmat_d
             fn = _jitted_analyze(K, pipe.kind, str(pipe.lview.dtype), pipe.mesh)
             self.dev = fn(lmat_d, rmat_d)
         for key in ("hostbuf", "cm", "un", "lags", "plags"):

@@ -262,9 +262,14 @@ def warm_process(blocks=128):
                 jax.device_put(np.zeros((5, 12 * K), bool)),
             )["meta"])
 
+        def _load_unpack_delta(db, bk, K):
+            W = 2 + {8: DP.N, 12: DP.N * 3 // 2, 14: DP.N * 7 // 4}[db]
+            jax.block_until_ready(DP._jitted_unpack_delta(db, bk, K)(
+                jax.device_put(np.zeros((bk, W), np.uint8))))
+
         thunks = [(lambda bp=bp: _load_plan(bp)) for bp in widths]
         thunks += [(lambda K=K: _load_probe_chain(K)) for K in widths]
-        if mesh is None:  # mesh chunks keep full-K host pads, no pack24
+        if mesh is None:  # mesh chunks keep full-K host pads, no pack24/delta
             for K in widths:
                 step = DP._bucket_step(K)
                 for b in range(step, K, step):
@@ -273,6 +278,15 @@ def warm_process(blocks=128):
                 if DP._pack24_enabled("int32", None):
                     for b in (*range(step, K, step), K):
                         thunks.append(lambda b=b, K=K: _load_unpack24(b, K))
+                if DP._delta_enabled("int16", None):
+                    # the common audio tiers (12/14) warm every bucket;
+                    # the quiet tier (8) warms the full-chunk shape only
+                    # (rarer content; a miss is one lazy load)
+                    for db in (12, 14):
+                        for bk in (*range(step, K, step), K):
+                            thunks.append(
+                                lambda db=db, bk=bk, K=K: _load_unpack_delta(db, bk, K))
+                    thunks.append(lambda K=K: _load_unpack_delta(8, K, K))
 
         # each thunk is one independent cached-executable load whose
         # wall time is dominated by tunnel round trips, not host work —

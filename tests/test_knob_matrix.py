@@ -41,13 +41,17 @@ def test_knob_matrix_byte_invariant(tmp_path, monkeypatch):
     l, r = _signal()
     ref = FrameEncoder(12, 2, 44100, 16, xp=np).encode(l, r)  # numpy engine
 
-    # device plane pipeline: upload-bucket knobs (partial K=16 chunk)
+    # device plane pipeline: upload-bucket x delta-upload knobs
+    # (partial K=16 chunk; the 9-block signal engages 12/14-bit deltas)
     for buckets, div in (("1", "4"), ("1", "8"), ("0", "4")):
         monkeypatch.setenv("LAC_TPU_UPLOAD_BUCKETS", buckets)
         monkeypatch.setenv("LAC_TPU_UPLOAD_BUCKET_DIV", div)
-        assert _encode_jax(l, r) == ref, f"buckets={buckets} div={div}"
+        for delta in ("0", "1"):
+            monkeypatch.setenv("LAC_TPU_UPLOAD_DELTA", delta)
+            assert _encode_jax(l, r) == ref, f"buckets={buckets} div={div} delta={delta}"
     monkeypatch.delenv("LAC_TPU_UPLOAD_BUCKETS", raising=False)
     monkeypatch.delenv("LAC_TPU_UPLOAD_BUCKET_DIV", raising=False)
+    monkeypatch.delenv("LAC_TPU_UPLOAD_DELTA", raising=False)
 
     # sharded over the default mesh (buckets become full-K host pads)
     if len(jax.devices()) >= 8:
