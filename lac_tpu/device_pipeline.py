@@ -380,6 +380,137 @@ def _jitted_unpack_delta(b, bucket, K):
     return jax.jit(unpack)
 
 
+def _delta24_enabled(dtype_str, mesh):
+    """24-bit (int32) planes get the same delta-bitpack treatment as
+    16-bit ones: wrapped 24-bit first differences packed to 8/12/16/20
+    bit fields beat the 3-byte/sample pack24 byte-planes by 17-67% on
+    the bottleneck link whenever the content's deltas fit. Same
+    precondition as pack24 (values fit signed 24 bits — enforced at the
+    encode boundary for every backend); same gating knob."""
+    if dtype_str != "int32" or mesh is not None:
+        return False
+    forced = os.environ.get("LAC_TPU_UPLOAD_DELTA")
+    if forced is not None:
+        return forced != "0"
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - no jax backend at all
+        return False
+
+
+def _pack_delta24_host(m):
+    """int32 24-bit-range (rows, N) -> (b, packed uint8
+    (rows, 3 + N*b/8)) or (None, None) when the wrapped 24-bit deltas
+    need more than 20 bits (pack24 wins at 24).
+
+    Row layout mirrors ``_pack_delta_host``: 3 bytes x0 (LE, absolute
+    first sample), then N b-bit two's-complement fields of the WRAPPED
+    24-bit delta stream (field 0 always 0). Wrapping at the 24-bit
+    domain modulus is lossless for any in-domain content — the device
+    inverse cumsums and re-wraps to 24 bits."""
+    rows, n = m.shape
+    d = np.empty_like(m)
+    np.subtract(m[:, 1:], m[:, :-1], out=d[:, 1:])  # exact in int32
+    d[:, 0] = 0
+    # wrap to the 24-bit modulus (full-range jumps become small fields)
+    d &= np.int32(0xFFFFFF)
+    d ^= np.int32(0x800000)
+    d -= np.int32(0x800000)
+    lo, hi = int(d.min()), int(d.max())
+    if -128 <= lo and hi < 128:
+        b = 8
+    elif -2048 <= lo and hi < 2048:
+        b = 12
+    elif -32768 <= lo and hi < 32768:
+        b = 16
+    elif -524288 <= lo and hi < 524288:
+        b = 20
+    else:
+        return None, None
+    out = np.empty((rows, 3 + n * b // 8), np.uint8)
+    u0 = (m[:, 0] & np.int32(0xFFFFFF)).astype(np.uint32)
+    out[:, 0] = u0 & np.uint32(0xFF)
+    out[:, 1] = (u0 >> np.uint32(8)) & np.uint32(0xFF)
+    out[:, 2] = u0 >> np.uint32(16)
+    strided = np.lib.stride_tricks.as_strided
+    if b == 8:
+        out[:, 3:] = d & np.int32(0xFF)
+    elif b == 12:
+        u = d & np.int32(0xFFF)
+        v0, v1 = u[:, 0::2], u[:, 1::2]
+        t = strided(out[:, 3:], shape=(rows, n // 2, 3),
+                    strides=(out.strides[0], 3, 1))
+        t[..., 0] = v0 & np.int32(0xFF)
+        t[..., 1] = (v0 >> np.int32(8)) | ((v1 & np.int32(0xF)) << np.int32(4))
+        t[..., 2] = v1 >> np.int32(4)
+    elif b == 16:
+        out[:, 3:] = d.astype("<i2").view(np.uint8)
+    else:  # b == 20
+        u = (d & np.int32(0xFFFFF)).astype(np.uint32)
+        v0, v1 = u[:, 0::2], u[:, 1::2]
+        t = strided(out[:, 3:], shape=(rows, n // 2, 5),
+                    strides=(out.strides[0], 5, 1))
+        t[..., 0] = v0 & np.uint32(0xFF)
+        t[..., 1] = (v0 >> np.uint32(8)) & np.uint32(0xFF)
+        t[..., 2] = (v0 >> np.uint32(16)) | ((v1 & np.uint32(0xF)) << np.uint32(4))
+        t[..., 3] = (v1 >> np.uint32(4)) & np.uint32(0xFF)
+        t[..., 4] = v1 >> np.uint32(12)
+    return b, out
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_unpack_delta24(b, bucket, K):
+    """(bucket, 3 + N*b/8) uint8 delta rows -> zero-extended (K, N)
+    int32 planes: the exact device inverse of ``_pack_delta24_host``
+    fused with the partial-chunk row pad. Modular reconstruction:
+    int32 cumsum of sign-extended fields, + x0, wrap to 24 bits."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import configure_jax
+
+    configure_jax()
+
+    def unpack(p):
+        x0 = (p[:, 0].astype(jnp.int32)
+              | (p[:, 1].astype(jnp.int32) << jnp.int32(8))
+              | (p[:, 2].astype(jnp.int32) << jnp.int32(16)))
+        x0 = (x0 ^ jnp.int32(0x800000)) - jnp.int32(0x800000)
+        body = p[:, 3:]
+        if b == 8:
+            d = body.astype(jnp.int32)
+            d = (d ^ jnp.int32(0x80)) - jnp.int32(0x80)
+        elif b == 12:
+            t = body.reshape(bucket, N // 2, 3).astype(jnp.int32)
+            v0 = t[..., 0] | ((t[..., 1] & jnp.int32(0xF)) << jnp.int32(8))
+            v1 = (t[..., 1] >> jnp.int32(4)) | (t[..., 2] << jnp.int32(4))
+            d = jnp.stack([v0, v1], axis=-1).reshape(bucket, N)
+            d = (d ^ jnp.int32(0x800)) - jnp.int32(0x800)
+        elif b == 16:
+            t = body.reshape(bucket, N, 2).astype(jnp.int32)
+            d = t[..., 0] | (t[..., 1] << jnp.int32(8))
+            d = (d ^ jnp.int32(0x8000)) - jnp.int32(0x8000)
+        else:  # b == 20
+            t = body.reshape(bucket, N // 2, 5).astype(jnp.int32)
+            v0 = (t[..., 0] | (t[..., 1] << jnp.int32(8))
+                  | ((t[..., 2] & jnp.int32(0xF)) << jnp.int32(16)))
+            v1 = ((t[..., 2] >> jnp.int32(4)) | (t[..., 3] << jnp.int32(4))
+                  | (t[..., 4] << jnp.int32(12)))
+            d = jnp.stack([v0, v1], axis=-1).reshape(bucket, N)
+            d = (d ^ jnp.int32(0x80000)) - jnp.int32(0x80000)
+        vals = jnp.cumsum(d, axis=1) + x0[:, None]
+        vals = (vals << jnp.int32(8)) >> jnp.int32(8)  # 24-bit wrap
+        if bucket < K:
+            vals = jnp.concatenate(
+                [vals, jnp.zeros((K - bucket, N), jnp.int32)], axis=0
+            )
+        return vals
+
+    return jax.jit(unpack)
+
+
 def _pack24_host(m):
     """int32 (rows, N) in 24-bit range -> (3, rows, N) uint8 byte-planes
     (little-endian low/mid/high; the sign lives in byte 2's MSB).
@@ -484,6 +615,7 @@ class _ChunkJob:
                 put = jax.device_put
             pack24 = _pack24_enabled(str(pipe.lview.dtype), pipe.mesh)
             delta_ok = _delta_enabled(str(pipe.lview.dtype), pipe.mesh)
+            delta24_ok = _delta24_enabled(str(pipe.lview.dtype), pipe.mesh)
             if self.kc < K:  # pad the final partial chunk to the K shape
                 bucket = _upload_bucket(self.kc, K, pipe.mesh)
                 padfn = (
@@ -512,6 +644,14 @@ class _ChunkJob:
                                 z[: self.kc] = ph
                                 ph = z
                             return _jitted_unpack_delta(db, bucket, K)(put(ph))
+                    if delta24_ok:
+                        db, ph = _pack_delta24_host(m)
+                        if db is not None:
+                            if bucket > self.kc:
+                                z = np.zeros((bucket, ph.shape[1]), np.uint8)
+                                z[: self.kc] = ph
+                                ph = z
+                            return _jitted_unpack_delta24(db, bucket, K)(put(ph))
                     if pack24:
                         if bucket == self.kc:
                             ph = _pack24_host(m)
@@ -536,6 +676,10 @@ class _ChunkJob:
                         db, ph = _pack_delta_host(m)
                         if db is not None:
                             return _jitted_unpack_delta(db, K, K)(put(ph))
+                    if delta24_ok:
+                        db, ph = _pack_delta24_host(m)
+                        if db is not None:
+                            return _jitted_unpack_delta24(db, K, K)(put(ph))
                     if pack24:
                         return _jitted_unpack24(K, K)(put(_pack24_host(m)))
                     return put(m)

@@ -267,6 +267,11 @@ def warm_process(blocks=128):
             jax.block_until_ready(DP._jitted_unpack_delta(db, bk, K)(
                 jax.device_put(np.zeros((bk, W), np.uint8))))
 
+        def _load_unpack_delta24(db, bk, K):
+            W = 3 + DP.N * db // 8
+            jax.block_until_ready(DP._jitted_unpack_delta24(db, bk, K)(
+                jax.device_put(np.zeros((bk, W), np.uint8))))
+
         thunks = [(lambda bp=bp: _load_plan(bp)) for bp in widths]
         thunks += [(lambda K=K: _load_probe_chain(K)) for K in widths]
         if mesh is None:  # mesh chunks keep full-K host pads, no pack24/delta
@@ -287,6 +292,15 @@ def warm_process(blocks=128):
                             thunks.append(
                                 lambda db=db, bk=bk, K=K: _load_unpack_delta(db, bk, K))
                     thunks.append(lambda K=K: _load_unpack_delta(8, K, K))
+                if DP._delta24_enabled("int32", None):
+                    # 24-bit music commonly lands in the 16-bit-delta
+                    # tier — warm it at every bucket; 12/20 full-chunk
+                    # only (a miss is one lazy load)
+                    for bk in (*range(step, K, step), K):
+                        thunks.append(
+                            lambda bk=bk, K=K: _load_unpack_delta24(16, bk, K))
+                    for db in (12, 20):
+                        thunks.append(lambda db=db, K=K: _load_unpack_delta24(db, K, K))
 
         # each thunk is one independent cached-executable load whose
         # wall time is dominated by tunnel round trips, not host work —
