@@ -293,14 +293,17 @@ def warm_process(blocks=128):
                                 lambda db=db, bk=bk, K=K: _load_unpack_delta(db, bk, K))
                     thunks.append(lambda K=K: _load_unpack_delta(8, K, K))
                 if DP._delta24_enabled("int32", None):
-                    # 24-bit music commonly lands in the 16-bit-delta
-                    # tier — warm it at every bucket; 12/20 full-chunk
-                    # only (a miss is one lazy load)
-                    for bk in (*range(step, K, step), K):
-                        thunks.append(
-                            lambda bk=bk, K=K: _load_unpack_delta24(16, bk, K))
-                    for db in (12, 20):
-                        thunks.append(lambda db=db, K=K: _load_unpack_delta24(db, K, K))
+                    # loud 24-bit music lands in the 20-bit tier
+                    # (deltas scale with peak x spectral centroid;
+                    # measured on 22-bit-peak music-shape content),
+                    # quieter/duller content in the 16-bit tier — warm
+                    # both at every bucket; 12 full-chunk only (a miss
+                    # is one lazy load)
+                    for db in (16, 20):
+                        for bk in (*range(step, K, step), K):
+                            thunks.append(
+                                lambda db=db, bk=bk, K=K: _load_unpack_delta24(db, bk, K))
+                    thunks.append(lambda K=K: _load_unpack_delta24(12, K, K))
 
         # each thunk is one independent cached-executable load whose
         # wall time is dominated by tunnel round trips, not host work —

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Quick tunnel-health probe: times one bulk host->device upload and a
+tiny forcing fetch (fresh bytes each call — the axon terminal memoizes
+identical executions). Prints one JSON line with the implied upload
+bandwidth and the small-fetch RTT so record attempts can be timed to
+healthy hours (the shared dev tunnel swings 10-120 MB/s by the hour).
+
+Usage: python scripts/tunnel_probe.py [MB]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    mb = float(sys.argv[1]) if len(sys.argv) > 1 else 16.0
+    os.environ.setdefault("LAC_TPU_COLD_BLOCKS", "0")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import lac_tpu
+
+    lac_tpu.configure_jax()
+    import jax
+    import jax.numpy as jnp
+
+    n = int(mb * 1e6 // 2)
+    rng = np.random.RandomState(int(time.time()) & 0x7FFFFFFF)
+    fn = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    # warm the executable + transfer path once
+    jax.block_until_ready(fn(jax.device_put(rng.randint(-100, 100, 1 << 16).astype(np.int16))))
+    best_up, best_rtt = float("inf"), float("inf")
+    for _ in range(3):
+        buf = rng.randint(-3000, 3000, n).astype(np.int16)
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        s = fn(dev)
+        int(s)  # force via a tiny fetch
+        best_up = min(best_up, time.perf_counter() - t0)
+        tiny = jax.device_put(rng.randint(-100, 100, 8).astype(np.int16))
+        t1 = time.perf_counter()
+        int(fn(tiny))
+        best_rtt = min(best_rtt, time.perf_counter() - t1)
+    print(json.dumps({
+        "metric": "tunnel_probe",
+        "upload_mb": round(mb, 1),
+        "upload_mbps": round(mb / best_up, 1),
+        "rtt_ms": round(best_rtt * 1e3, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
