@@ -262,6 +262,18 @@ def device_child(td):
     ref_bytes = ref_path.read_bytes() if ref_path.exists() else None
 
     try:
+        # threaded pre-warm of the 16-bit executable grid (the bench is
+        # all 16-bit work): on hours when the tunnel's per-executable-
+        # LOAD latency is degraded (observed: full serial-ish loads cost
+        # 328-406 s while bulk bandwidth probed healthy), overlapping
+        # the loads 4-wide is the difference between the device path
+        # landing inside the driver budget and the native fallback
+        from lac_tpu.serve import warm_process
+
+        warm_process(128, dtypes=("int16",))
+    except Exception as e:  # never let warming kill the measurement
+        print(f"prewarm failed: {e!r}", file=sys.stderr)
+    try:
         enc, bitstream, ours_fps = bench_ours(left, right)
     except Exception as e:
         emit({"device_error": repr(e)})

@@ -108,13 +108,20 @@ def run_job(argv):
     return rc, out_buf.getvalue(), err_buf.getvalue()
 
 
-def warm_process(blocks=128):
+def warm_process(blocks=128, dtypes=("int16", "int32")):
     """Pull the hot executables into this process now by encoding a
     synthetic stereo signal of ``blocks`` full blocks in memory (device
     backends load their cached executables here instead of on the first
     real job). Cold-start routing (LAC_TPU_COLD_BLOCKS) is suspended
     for the warm encode — sending short inputs to the native planner is
-    exactly what warming exists to stop. No-op-cheap on numpy."""
+    exactly what warming exists to stop. No-op-cheap on numpy.
+
+    ``dtypes`` restricts the upload-shape grid by plane dtype: a caller
+    that will only see 16-bit jobs (e.g. bench.py's device stage) can
+    skip the int32 pad / pack24 / delta24 loads — on hours when the
+    tunnel's per-executable-load latency is degraded (observed 328-406 s
+    for the full grid vs 26-57 s good-weather) every skipped load is
+    seconds saved before the first real job."""
     import numpy as np
 
     from .cli import _encoder_xp
@@ -154,14 +161,17 @@ def warm_process(blocks=128):
     # the LAC_TPU_COLD_BLOCKS save/restore and perturb other jobs'
     # routing (advisor round-3 finding)
     enc.suppress_cold_route = True
-    nbytes = len(enc.encode(left, right))
-    _stage("encode")
 
     from .ops._backend import is_jax
 
     if is_jax(enc.xp):
-        # the encode above loaded the chunk-width analyze/gather/probe
-        # executables, but a chunk whose plan lanes exceed K (stereo-
+        # exec-grid FIRST (thread-pooled), synthetic encode AFTER: the
+        # grid covers most executables the encode route walks (plans,
+        # probe chains, pads, delta unpacks), so front-loading it
+        # overlaps those loads 4-wide and the serial encode only pays
+        # for the uncovered remainder (measured 2026-08-20 degraded-load
+        # hour: encode-first spent 209.7 s on serial lazy loads).
+        # Among them: a chunk whose plan lanes exceed K (stereo-
         # uncertain blocks plan two speculative variants each) takes the
         # DOUBLED plan dispatch (device_pipeline.plan_batches) — load
         # every ladder plan width now, not on the first uncertain file
@@ -279,11 +289,12 @@ def warm_process(blocks=128):
                 step = DP._bucket_step(K)
                 for b in range(step, K, step):
                     for dt in (np.int16, np.int32):
-                        thunks.append(lambda b=b, K=K, dt=dt: _load_pad(b, K, dt))
-                if DP._pack24_enabled("int32", None):
+                        if np.dtype(dt).name in dtypes:
+                            thunks.append(lambda b=b, K=K, dt=dt: _load_pad(b, K, dt))
+                if "int32" in dtypes and DP._pack24_enabled("int32", None):
                     for b in (*range(step, K, step), K):
                         thunks.append(lambda b=b, K=K: _load_unpack24(b, K))
-                if DP._delta_enabled("int16", None):
+                if "int16" in dtypes and DP._delta_enabled("int16", None):
                     # the common audio tiers (12/14) warm every bucket;
                     # the quiet tier (8) warms the full-chunk shape only
                     # (rarer content; a miss is one lazy load)
@@ -292,7 +303,7 @@ def warm_process(blocks=128):
                             thunks.append(
                                 lambda db=db, bk=bk, K=K: _load_unpack_delta(db, bk, K))
                     thunks.append(lambda K=K: _load_unpack_delta(8, K, K))
-                if DP._delta24_enabled("int32", None):
+                if "int32" in dtypes and DP._delta24_enabled("int32", None):
                     # loud 24-bit music lands in the 20-bit tier
                     # (deltas scale with peak x spectral centroid;
                     # measured on 22-bit-peak music-shape content),
@@ -322,6 +333,8 @@ def warm_process(blocks=128):
                 for f in [tp.submit(t) for t in thunks]:
                     f.result()  # propagate the first load failure
         _stage(f"exec-grid x{warm_threads}")
+    nbytes = len(enc.encode(left, right))
+    _stage("encode")
     return nbytes
 
 
