@@ -272,6 +272,33 @@ def warm_process(blocks=128, dtypes=("int16", "int32")):
                 jax.device_put(np.zeros((5, 12 * K), bool)),
             )["meta"])
 
+        # the last serial lazy loads a real encode pays after this grid
+        # (enumerated from a JAX_LOG_COMPILES warm capture, 2026-08-20):
+        # the plan-lane gather over the chunk-resident (4K, N) planes
+        # and the tail group's probe autocorr + plan (12 probe lanes
+        # padded to Bp=16). The gather's planes operand is built on
+        # device (jnp.zeros executes a fill, no device_put) so warming
+        # it ships no 16-67 MB buffer through the tunnel.
+        def _load_lane_gather(K, bp):
+            import jax.numpy as jnp
+
+            flat = jnp.zeros((4 * K, DP.N), jnp.int32)
+            rows = jax.device_put(np.zeros(bp, np.int32))
+            jax.block_until_ready(DP._jitted_gather(DP.N)(flat, rows))
+
+        def _load_group_probe():
+            from .encoder import _jitted_autocorr
+
+            pcm = jax.device_put(np.zeros((16, C.STEREO_PROBE_SIZE), np.int16))
+            jax.block_until_ready(_jitted_autocorr(12, 4)(pcm))
+            fnp = E._jitted_plan(C.STEREO_PROBE_SIZE, enc.zero_run_enabled,
+                                 enc.partitioning_enabled, emit_fields)
+            jax.block_until_ready(fnp(
+                pcm,
+                jax.device_put(np.zeros((5, 16, 13), np.int16)),
+                jax.device_put(np.zeros((5, 16), bool)),
+            )["meta"])
+
         def _load_unpack_delta(db, bk, K):
             W = 2 + {8: DP.N, 12: DP.N * 3 // 2, 14: DP.N * 7 // 4}[db]
             jax.block_until_ready(DP._jitted_unpack_delta(db, bk, K)(
@@ -284,6 +311,11 @@ def warm_process(blocks=128, dtypes=("int16", "int32")):
 
         thunks = [(lambda bp=bp: _load_plan(bp)) for bp in widths]
         thunks += [(lambda K=K: _load_probe_chain(K)) for K in widths]
+        if mesh is None:
+            for K in widths:
+                for bp in ({K, 2 * K} if 2 * K in DP.CHUNK_LADDER else {K}):
+                    thunks.append(lambda K=K, bp=bp: _load_lane_gather(K, bp))
+            thunks.append(_load_group_probe)
         if mesh is None:  # mesh chunks keep full-K host pads, no pack24/delta
             for K in widths:
                 step = DP._bucket_step(K)
