@@ -276,9 +276,14 @@ def warm_process(blocks=128, dtypes=("int16", "int32")):
         # (enumerated from a JAX_LOG_COMPILES warm capture, 2026-08-20):
         # the plan-lane gather over the chunk-resident (4K, N) planes
         # and the tail group's probe autocorr + plan (12 probe lanes
-        # padded to Bp=16). The gather's planes operand is built on
-        # device (jnp.zeros executes a fill, no device_put) so warming
-        # it ships no 16-67 MB buffer through the tunnel.
+        # padded to Bp=16). OPT-IN ONLY (LAC_TPU_WARM_EXTRA=1): a
+        # same-hour A/B on a healthy tunnel (2026-08-20, 35 MB/s,
+        # 25 ms RTT, 0.47 s exec-load) measured the post-grid warm
+        # encode at 25.6 s without these thunks vs >525 s (timed out)
+        # with them — warming the extra executables evidently evicts
+        # the big plan executables from the terminal's load cache, so
+        # the encode re-pays their serial loads. The two first-job
+        # lazy loads these would save cost far less than that.
         def _load_lane_gather(K, bp):
             import jax.numpy as jnp
 
@@ -311,7 +316,7 @@ def warm_process(blocks=128, dtypes=("int16", "int32")):
 
         thunks = [(lambda bp=bp: _load_plan(bp)) for bp in widths]
         thunks += [(lambda K=K: _load_probe_chain(K)) for K in widths]
-        if mesh is None:
+        if mesh is None and os.environ.get("LAC_TPU_WARM_EXTRA") == "1":
             for K in widths:
                 for bp in ({K, 2 * K} if 2 * K in DP.CHUNK_LADDER else {K}):
                     thunks.append(lambda K=K, bp=bp: _load_lane_gather(K, bp))

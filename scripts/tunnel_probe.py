@@ -43,11 +43,22 @@ def main():
         t1 = time.perf_counter()
         int(fn(tiny))
         best_rtt = min(best_rtt, time.perf_counter() - t1)
+    # executable-LOAD latency: compile+load one fresh-shaped trivial
+    # program (size varies per call so neither the in-process nor the
+    # persistent cache can serve it). This is the dimension that
+    # degrades independently of bulk bandwidth (see CLAUDE.md) and
+    # predicts warm cost: good hours ~0.3-1 s, degraded hours seconds.
+    n_odd = 16 + 2 * (int(time.time()) % 4096)
+    t2 = time.perf_counter()
+    g = jax.jit(lambda x: jnp.sum(x * jnp.int32(3), dtype=jnp.int32))
+    int(g(jax.device_put(np.ones(n_odd, np.int32))))
+    load_s = time.perf_counter() - t2
     print(json.dumps({
         "metric": "tunnel_probe",
         "upload_mb": round(mb, 1),
         "upload_mbps": round(mb / best_up, 1),
         "rtt_ms": round(best_rtt * 1e3, 1),
+        "exec_load_s": round(load_s, 2),
     }))
     return 0
 
