@@ -13,9 +13,12 @@ interactive session can avoid racing a heavy foreground job against
 the measurement on this 1-core box).
 
 Usage: python scripts/record_hunt.py [--out DIR] [--iters N]
-       [--sleep S] [--min-mbps M] [--max-load L]
+       [--sleep S] [--min-mbps M] [--max-load L] [--serve N_FILES]
 Stops early once a bench emits a device-path headline (no
-``native-fallback`` marker) with rc=0.
+``native-fallback`` marker) with rc=0; with --serve it then also runs
+``bench_serve.py N_FILES 4`` inside the same healthy window (the
+serving aggregate is bandwidth-capped, so it needs the same weather
+the single-stream records were measured in).
 """
 
 import argparse
@@ -53,6 +56,8 @@ def main():
     ap.add_argument("--sleep", type=float, default=600.0)
     ap.add_argument("--min-mbps", type=float, default=25.0)
     ap.add_argument("--max-load", type=float, default=1.5)
+    ap.add_argument("--serve", type=int, default=0,
+                    help="after a device-path record, run bench_serve.py N 4")
     args = ap.parse_args()
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -84,6 +89,19 @@ def main():
             print(text.strip(), flush=True)
             if r.returncode == 0 and text and '"native-fallback"' not in text:
                 print("device-path record landed", flush=True)
+                if args.serve:
+                    sj = out_dir / f"serve_{tag}.json"
+                    flag.touch()
+                    try:
+                        with open(sj, "w") as f:
+                            subprocess.run(
+                                ["timeout", "900", sys.executable, "-u",
+                                 str(REPO / "scripts/bench_serve.py"),
+                                 str(args.serve), "4"],
+                                stdout=f, stderr=subprocess.STDOUT, cwd=REPO)
+                    finally:
+                        flag.unlink(missing_ok=True)
+                    print(sj.read_text().strip()[-2000:], flush=True)
                 return 0
         time.sleep(args.sleep)
     return 1
