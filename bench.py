@@ -345,6 +345,34 @@ def device_child(td):
     return 0
 
 
+def _tunnel_probe(mb=8, timeout_s=90):
+    """Run scripts/tunnel_probe.py as a killable subprocess; return the
+    parsed full-probe dict, or None when the probe wedged/failed before
+    its bulk stage completed (the 2026-08-20 failure shape: bulk uploads
+    hang indefinitely inside an un-interruptible PJRT call while small
+    transfers stay fast — only a SIGKILL-able child survives that)."""
+    probe = pathlib.Path(__file__).parent / "scripts" / "tunnel_probe.py"
+    if not probe.exists():
+        return {}
+    try:
+        out = subprocess.run(
+            [sys.executable, str(probe), str(mb)],
+            capture_output=True, timeout=min(timeout_s, max(remaining() - 60, 5)),
+        ).stdout
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+    full = None
+    for line in out.decode(errors="replace").splitlines():
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if obj.get("metric") == "tunnel_probe":
+            full = {k: obj[k] for k in ("upload_mbps", "rtt_ms", "exec_load_s")
+                    if k in obj}
+    return full
+
+
 def _read_child_results(proc, headline_floor_s):
     """Read JSON lines from the child's stdout pipe, re-emitting result
     dicts (those with a "metric" key) to our stdout THE MOMENT they
@@ -423,11 +451,34 @@ def main():
     # which never touches the device — always emits a parseable line.
     floor = max(45.0, 0.15 * BUDGET_S)
     results = []
+    device_ok = os.environ.get("LAC_BENCH_NO_DEVICE") != "1" and remaining() > floor + 30
     if os.environ.get("LAC_BENCH_NO_DEVICE") == "1":
         nat_result["note"] = "device path disabled (LAC_BENCH_NO_DEVICE=1)"
     elif remaining() <= floor + 30:
         nat_result["note"] = "no budget left for the device stage"
-    if os.environ.get("LAC_BENCH_NO_DEVICE") != "1" and remaining() > floor + 30:
+    elif os.environ.get("LAC_BENCH_NO_PROBE") != "1":
+        # probe the tunnel first (killable subprocess, ~15-30 s healthy):
+        # a wedged or hopeless hour means the device child would burn its
+        # whole allowance and fall back anyway (observed 2026-08-20: bulk
+        # uploads hung >525 s while executable loads stayed fast), so skip
+        # it up front and spend the budget on a full-size native long
+        # stage instead. The gate is deliberately loose — only clearly
+        # hopeless hours are skipped; degraded-but-alive hours still get
+        # their shot at a device record.
+        probe_info = _tunnel_probe()
+        if probe_info is None:
+            device_ok = False
+            nat_result["note"] = "device stage skipped: tunnel probe wedged"
+        elif probe_info and (probe_info.get("upload_mbps", 0) < 8
+                             or probe_info.get("exec_load_s", 99) > 8):
+            device_ok = False
+            nat_result["note"] = (
+                f"device stage skipped: tunnel hopeless "
+                f"({probe_info.get('upload_mbps')} MB/s, "
+                f"exec load {probe_info.get('exec_load_s')} s)")
+        if probe_info is not None:
+            nat_result["tunnel_probe"] = probe_info
+    if device_ok:
         with tempfile.TemporaryDirectory() as td:
             np.savez(f"{td}/corpus.npz", left=left, right=right)
             open(f"{td}/meta.json", "w").write(json.dumps({"ref_fps": ref_fps}))
@@ -461,8 +512,11 @@ def main():
             nat_result["decode_vs_baseline"] = round(dec_fps / dec_ref, 3)
     if remaining() > 75 and os.environ.get("LAC_BENCH_SKIP_LONG") != "1":
         # long-file story on the tunnel-immune path too: one native
-        # encode of a 10 M-frame stream vs the reference CLI
-        frames = 10_000_000
+        # encode of a long stream vs the reference CLI, scaled to the
+        # budget the skipped device stage left behind (native encode
+        # ~3.5 M fps + reference ~1.5 M fps + generation all fit a
+        # 30 M-frame form comfortably inside 200 s)
+        frames = 30_000_000 if remaining() > 220 else 10_000_000
         lleft, lright = make_long(57, frames=frames)
         prev = os.environ.get("LAC_TPU_COLD_BLOCKS")
         os.environ["LAC_TPU_COLD_BLOCKS"] = "1000000000"
