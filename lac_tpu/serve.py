@@ -397,6 +397,16 @@ class _PoolBatcher:
     CLI encodes. Jobs that can't pool (debug flags, streaming route,
     numpy backend, bad args) fall back to the ordinary per-job handler,
     which reproduces every message and exit code exactly.
+
+    A watchdog guards the device waves: the dev tunnel has been
+    observed (2026-08-20) to wedge bulk uploads indefinitely inside an
+    un-interruptible PJRT call. When a wave exceeds
+    ``LAC_TPU_SERVE_DEVICE_TIMEOUT_S`` the batcher marks the device
+    sick, forces ``LAC_TPU_BACKEND=numpy`` process-wide (bytes are
+    identical by the backend contract) and keeps serving natively;
+    every job — stuck, queued, or future — is responded to exactly once
+    (the ``_claim`` registry arbitrates between the wedged thread's
+    late completions and the rescue path).
     """
 
     def __init__(self, pool, handle, respond):
@@ -408,15 +418,92 @@ class _PoolBatcher:
         self.closed = False
         self.busy = 0  # accepted jobs not yet responded
         self.fenced = 0  # accepted since the last drain (wait counting)
+        # device-wedge watchdog (observed 2026-08-20: bulk uploads hang
+        # indefinitely inside an un-interruptible PJRT call while the
+        # host stays healthy). Every job is routed to exactly one
+        # dispatch via _claim; if a device wave exceeds the deadline the
+        # monitor marks the device sick, rescues the stuck wave's
+        # unclaimed jobs + the rest of the batch natively, and keeps
+        # draining the queue natively for the life of the process
+        # (sickness is sticky — restart the service to rearm the device
+        # path). 0 disables the watchdog.
+        try:
+            self.device_timeout = float(
+                os.environ.get("LAC_TPU_SERVE_DEVICE_TIMEOUT_S", "600"))
+        except ValueError:
+            self.device_timeout = 600.0
+        self.claim_lock = threading.Lock()
+        self.claimed = set()  # job ids routed to exactly one dispatch
+        self.wave_start = None  # perf_counter when a device wave began
+        self.wave_jobs = ()  # records of the wave in flight
+        self.cur_batch = ()  # batch _loop is currently processing
+        self.device_sick = False
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
+        if self.device_timeout > 0:
+            self.monitor = threading.Thread(target=self._monitor, daemon=True)
+            self.monitor.start()
+
+    def _claim(self, job_id):
+        """Claim the right to dispatch (and therefore respond to) a
+        job. Exactly one dispatch point wins; the rest must skip. The
+        set grows one int per pooled job for the process lifetime —
+        negligible at file-encode job rates."""
+        with self.claim_lock:
+            if job_id in self.claimed:
+                return False
+            self.claimed.add(job_id)
+            return True
+
+    def _monitor(self):
+        tick = max(0.05, min(5.0, self.device_timeout / 10.0))
+        while True:
+            time.sleep(tick)
+            with self.cv:
+                if self.closed and not self.pending and not self.busy:
+                    return
+            if self.device_sick:
+                # the batcher thread may still be wedged: keep the
+                # service live by draining queued jobs natively
+                with self.cv:
+                    batch, self.pending = self.pending, []
+                for job_id, parts, _t0 in batch:
+                    if self._claim(job_id):
+                        self.pool.submit(self._fallback, job_id, parts)
+                continue
+            ws = self.wave_start
+            if ws is None or time.perf_counter() - ws < self.device_timeout:
+                continue
+            # a device wave blew the deadline: the batcher thread is
+            # stuck inside an un-interruptible device call. Force every
+            # later job onto the native backend (bytes are identical by
+            # the backend contract) and respond to everything the stuck
+            # thread still owns.
+            os.environ["LAC_TPU_BACKEND"] = "numpy"
+            self.device_sick = True
+            sys.stderr.write(
+                f"lac_tpu.serve: device wave exceeded "
+                f"{self.device_timeout:.0f}s; continuing natively\n")
+            for rec in list(self.wave_jobs):
+                _bi, job_id, parts = rec[0], rec[1], rec[2]
+                if self._claim(job_id):
+                    self.pool.submit(self._fallback, job_id, parts)
+            for job_id, parts, _t0 in list(self.cur_batch):
+                if self._claim(job_id):
+                    self.pool.submit(self._fallback, job_id, parts)
 
     def submit(self, job_id, parts):
         with self.cv:
-            self.pending.append((job_id, parts, time.perf_counter()))
             self.busy += 1
             self.fenced += 1
-            self.cv.notify_all()
+            if not self.device_sick:
+                self.pending.append((job_id, parts, time.perf_counter()))
+                self.cv.notify_all()
+                return
+        # wedged-device mode: dispatch natively right away (the batcher
+        # thread may be stuck; don't add queue latency behind it)
+        if self._claim(job_id):
+            self.pool.submit(self._fallback, job_id, parts)
 
     def drain(self):
         """Block until every accepted job has been responded to; returns
@@ -432,7 +519,15 @@ class _PoolBatcher:
         with self.cv:
             self.closed = True
             self.cv.notify_all()
-        self.thread.join()
+        # a device-wedged batcher thread never exits; it is a daemon, so
+        # stop waiting once the watchdog declares sickness (including a
+        # wedge that begins while this join is already in progress) and
+        # let process teardown reap it
+        if self.device_timeout <= 0:
+            self.thread.join()
+        else:
+            while self.thread.is_alive() and not self.device_sick:
+                self.thread.join(timeout=1.0)
 
     def _done_one(self):
         with self.cv:
@@ -450,6 +545,7 @@ class _PoolBatcher:
                     return
                 batch, self.pending = self.pending, []
             routed = set()  # batch indices _process dispatched or requeued
+            self.cur_batch = batch
             try:
                 self._process(batch, P, routed)
             except Exception:  # noqa: BLE001 — keep the batcher alive
@@ -459,8 +555,10 @@ class _PoolBatcher:
                 # run them twice and drive `busy` negative (advisor
                 # round-4 finding). Only the unrouted remainder falls back.
                 for bi, (job_id, parts, _t0) in enumerate(batch):
-                    if bi not in routed:
+                    if bi not in routed and self._claim(job_id):
                         self.pool.submit(self._fallback, job_id, parts)
+            finally:
+                self.cur_batch = ()
 
     def _fallback(self, job_id, parts):
         try:
@@ -495,6 +593,13 @@ class _PoolBatcher:
             self._done_one()
 
     def _process(self, batch, P, routed):
+        if self.device_sick:
+            # wedged-device mode: everything runs the native per-job path
+            for bi, (job_id, parts, _t0) in enumerate(batch):
+                routed.add(bi)
+                if self._claim(job_id):
+                    self.pool.submit(self._fallback, job_id, parts)
+            return
         groups = {}
         pooled_blocks = 0
         for bi, (job_id, parts, t0) in enumerate(batch):
@@ -513,34 +618,54 @@ class _PoolBatcher:
             except Exception:  # noqa: BLE001 — prescreen must never kill a job
                 prep = None
             if prep is None:
-                self.pool.submit(self._fallback, job_id, parts)
                 routed.add(bi)
+                if self._claim(job_id):
+                    self.pool.submit(self._fallback, job_id, parts)
             else:
                 groups.setdefault(prep.key, []).append((bi, job_id, parts, t0, prep))
                 pooled_blocks += prep.nfull
         for jobs in groups.values():
             for wave in P.split_waves(jobs, nfull_of=lambda rec: rec[4].nfull):
+                # jobs the watchdog rescued while an earlier wave was
+                # wedged must not be encoded (or responded to) again
+                wave = [rec for rec in wave if rec[1] not in self.claimed]
+                if not wave:
+                    continue
                 released = set()
 
                 def done(i, planes, wave=wave, released=released, routed=routed):
                     bi, job_id, parts, t0, prep = wave[i]
+                    if not self._claim(job_id):  # watchdog already rescued it
+                        released.add(i)
+                        routed.add(bi)
+                        return
                     # submit BEFORE marking released/routed: a failed
                     # submit (executor shutting down) must leave the job
                     # eligible for the unreleased-fallback path below, or
                     # it would never be responded to (advisor round-4)
-                    self.pool.submit(self._finish, job_id, parts, prep, planes, t0)
+                    try:
+                        self.pool.submit(self._finish, job_id, parts, prep, planes, t0)
+                    except BaseException:
+                        with self.claim_lock:
+                            self.claimed.discard(job_id)
+                        raise
                     released.add(i)
                     routed.add(bi)
 
+                self.wave_jobs = wave
+                self.wave_start = time.perf_counter()
                 try:
                     P.run_group_wave([rec[4] for rec in wave], done)
                 except Exception:  # noqa: BLE001 — wave failed mid-flight
                     # unreleased files take the ordinary per-job path
                     # (fresh read + per-file pipeline; same bytes)
                     for i, (bi, job_id, parts, _t0, _p) in enumerate(wave):
-                        if i not in released:
+                        if i not in released and self._claim(job_id):
                             self.pool.submit(self._fallback, job_id, parts)
                             routed.add(bi)
+                finally:
+                    self.wave_start = None
+                    self.wave_jobs = ()
 
 
 def serve(argv=None, stdin=None, stdout=None):

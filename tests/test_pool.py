@@ -262,3 +262,97 @@ def test_pool_batcher_requeue_fallback_and_drain(monkeypatch):
         gate.set()
         b.close()
         pool.shutdown(wait=True)
+
+
+def test_pool_batcher_device_wedge_watchdog(monkeypatch):
+    """Device-wedge watchdog (observed 2026-08-20: bulk uploads hang
+    forever inside an un-interruptible PJRT call): a wave that exceeds
+    LAC_TPU_SERVE_DEVICE_TIMEOUT_S marks the device sick, the stuck
+    wave's jobs + everything queued behind it + everything submitted
+    afterwards are responded to exactly once via the native per-job
+    path, the process-wide backend is forced to numpy, drain() still
+    returns, the wedged wave's late completions are suppressed, and
+    close() does not hang on the stuck batcher thread."""
+    import threading
+    import time as _t
+    from concurrent.futures import ThreadPoolExecutor
+
+    import lac_tpu.pool as P
+    import lac_tpu.serve as serve_mod
+
+    monkeypatch.setenv("LAC_TPU_SERVE_DEVICE_TIMEOUT_S", "0.3")
+
+    gate = threading.Event()  # the simulated wedge: wave 0 blocks here
+    late_done = []
+
+    def fake_prepare(parts):
+        prep = P.PreparedEncode(
+            parts=list(parts), in_path=parts[1], wav=None,
+            kind="auto", nfull=1, dt=np.int16,
+        )
+        prep.key = ("auto", "<i2", True)
+        return prep
+
+    def fake_run_group_wave(group, file_done):
+        gate.wait(timeout=60)  # wedged device call
+        for i in range(len(group)):
+            file_done(i, ({}, {}, {}))
+            late_done.append(group[i].in_path)
+
+    monkeypatch.setattr(P, "prepare_encode_job", fake_prepare)
+    monkeypatch.setattr(P, "run_group_wave", fake_run_group_wave)
+
+    responses, rlock = [], threading.Lock()
+
+    def respond(obj):
+        with rlock:
+            responses.append(dict(obj))
+
+    def handle(job_id, parts):  # the native per-job path
+        respond({"id": job_id, "ok": True, "message": "native"})
+
+    pool = ThreadPoolExecutor(2)
+    prev_backend = os.environ.get("LAC_TPU_BACKEND")
+    b = serve_mod._PoolBatcher(pool, handle, respond)
+    try:
+        b.submit(1, ["encode", "w1.wav", "o1"])
+        for _ in range(600):  # until the batcher thread is inside wave 0
+            if b.wave_start is not None:
+                break
+            _t.sleep(0.01)
+        assert b.wave_start is not None
+        b.submit(2, ["encode", "w2.wav", "o2"])  # queued behind the wedge
+        b.submit(3, ["encode", "w3.wav", "o3"])
+        for _ in range(600):  # watchdog fires at 0.3 s
+            with rlock:
+                if len(responses) == 3:
+                    break
+            _t.sleep(0.01)
+        assert b.device_sick
+        assert os.environ.get("LAC_TPU_BACKEND") == "numpy"
+        b.submit(4, ["encode", "w4.wav", "o4"])  # sick mode: direct dispatch
+        assert b.drain() == 4
+        with rlock:
+            assert sorted(r["id"] for r in responses) == [1, 2, 3, 4]
+            assert all(r["message"] == "native" for r in responses)
+        # the wedge clears: the wave's late file_done must be suppressed
+        gate.set()
+        for _ in range(600):
+            if late_done:
+                break
+            _t.sleep(0.01)
+        assert late_done == ["w1.wav"]
+        _t.sleep(0.1)
+        with rlock:
+            assert len(responses) == 4  # no duplicate response for job 1
+        t0 = _t.perf_counter()
+        b.close()
+        assert _t.perf_counter() - t0 < 10.0
+    finally:
+        gate.set()
+        b.close()
+        pool.shutdown(wait=True)
+        if prev_backend is None:
+            os.environ.pop("LAC_TPU_BACKEND", None)
+        else:
+            os.environ["LAC_TPU_BACKEND"] = prev_backend
