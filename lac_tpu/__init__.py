@@ -23,7 +23,7 @@ CLI decoder, WAV tools — never pay backend initialization.
 
 import os
 
-__version__ = "0.2.0"
+__version__ = "0.2.1"
 
 _JAX_CONFIGURED = False
 
