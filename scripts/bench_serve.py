@@ -53,9 +53,33 @@ def make_wav(path, seed):
     assert write_wav(str(path), left, right, 2, SR, 16)
 
 
+def probe_tunnel():
+    """Attach the hour's link weather to the record (tunnel bandwidth
+    swings 10-120 MB/s and load latency degrades independently — an
+    aggregate without its weather context is uninterpretable; see
+    docs/benchmarks.md). Killable subprocess: a wedged tunnel costs 90 s
+    here, not the whole session."""
+    try:
+        out = subprocess.run(
+            [sys.executable, str(ROOT / "scripts" / "tunnel_probe.py"), "8"],
+            capture_output=True, timeout=90).stdout
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+    full = None
+    for line in out.decode(errors="replace").splitlines():
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if obj.get("metric") == "tunnel_probe":
+            full = {k: obj[k] for k in ("upload_mbps", "rtt_ms", "exec_load_s")}
+    return full
+
+
 def main():
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     workers = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    probe = probe_tunnel()
     with tempfile.TemporaryDirectory() as td:
         td = pathlib.Path(td)
         wavs = []
@@ -144,6 +168,7 @@ def main():
             "decode_ref_value": round(n_files * FRAMES / ref_dec_wall, 1),
             "decode_vs_ref": round(ref_dec_wall / dec_wall, 3),
             "parity": "byte-identical",
+            "tunnel_probe": probe,  # null = probe wedged before its bulk stage
         }))
     return 0
 
