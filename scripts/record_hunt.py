@@ -58,6 +58,13 @@ def main():
     ap.add_argument("--max-load", type=float, default=1.5)
     ap.add_argument("--serve", type=int, default=0,
                     help="after a device-path record, run bench_serve.py N 4")
+    ap.add_argument("--direct", action="store_true",
+                    help="skip the pre-probe and run bench every cycle; "
+                    "right when the tunnel flaps on minute scale (observed "
+                    "2026-08-20 ~10:40: a probe-healthy window closed before "
+                    "bench's ~90 s tunnel-immune prep finished) — bench "
+                    "self-gates its device stage with its own probe, so a "
+                    "wedged attempt costs ~5 min of native stages, not 10")
     args = ap.parse_args()
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -65,16 +72,21 @@ def main():
 
     for i in range(args.iters):
         tag = time.strftime("%H%M%S")
-        full, rc = probe(out_dir, tag)
-        if full is None:
-            print(f"[{tag}] probe wedged/failed (rc={rc}); sleeping", flush=True)
-        elif full["upload_mbps"] < args.min_mbps or full["exec_load_s"] > args.max_load:
-            print(f"[{tag}] unhealthy: {full['upload_mbps']} MB/s, "
-                  f"load {full['exec_load_s']} s; sleeping", flush=True)
-        else:
-            print(f"[{tag}] healthy ({full['upload_mbps']} MB/s, "
-                  f"{full['rtt_ms']} ms, load {full['exec_load_s']} s) — benching",
-                  flush=True)
+        go = args.direct
+        if not args.direct:
+            full, rc = probe(out_dir, tag)
+            if full is None:
+                print(f"[{tag}] probe wedged/failed (rc={rc}); sleeping", flush=True)
+            elif (full["upload_mbps"] < args.min_mbps
+                  or full["exec_load_s"] > args.max_load):
+                print(f"[{tag}] unhealthy: {full['upload_mbps']} MB/s, "
+                      f"load {full['exec_load_s']} s; sleeping", flush=True)
+            else:
+                print(f"[{tag}] healthy ({full['upload_mbps']} MB/s, "
+                      f"{full['rtt_ms']} ms, load {full['exec_load_s']} s) "
+                      f"— benching", flush=True)
+                go = True
+        if go:
             bj = out_dir / f"bench_{tag}.json"
             flag.touch()
             try:
